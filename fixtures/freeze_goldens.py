@@ -1,0 +1,53 @@
+"""Freeze golden extraction outputs by running the REFERENCE in-process.
+
+Runs ``pypdfproc.PDF(f).GetFullText()`` (the reference at /root/reference,
+loaded with the PLY-API shim in tools/ply_shim) over every fixture PDF from
+``fixtures/pdfgen.py`` and writes the per-page text to
+``fixtures/goldens/pdf_goldens.json``.
+
+The frozen file is committed so the test suite does NOT need the reference
+at runtime; re-run this script only when fixtures change:
+
+    python fixtures/freeze_goldens.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDENS_PATH = os.path.join(REPO, "fixtures", "goldens", "pdf_goldens.json")
+
+
+def freeze() -> dict[str, list[str]]:
+    sys.path.insert(0, os.path.join(REPO, "tools", "ply_shim"))
+    sys.path.insert(0, "/root/reference")
+    sys.path.insert(0, REPO)
+    import pypdfproc  # the reference, via the shim
+
+    from fixtures.pdfgen import build_all
+
+    out: dict[str, list[str]] = {}
+    tmp = tempfile.mkdtemp(prefix="pdf_fixtures_")
+    for name, data in sorted(build_all().items()):
+        p = os.path.join(tmp, name + ".pdf")
+        with open(p, "wb") as fh:
+            fh.write(data)
+        doc = pypdfproc.PDF(p)
+        out[name] = doc.GetFullText()
+    return out
+
+
+def main() -> None:
+    goldens = freeze()
+    os.makedirs(os.path.dirname(GOLDENS_PATH), exist_ok=True)
+    with open(GOLDENS_PATH, "w") as fh:
+        json.dump(goldens, fh, indent=1, ensure_ascii=False)
+    sys.stdout.write("wrote %s (%d fixtures)\n" % (GOLDENS_PATH, len(goldens)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,378 @@
+"""Deterministic PDF fixture synthesizer.
+
+Generates small, byte-offset-exact PDFs that exercise the reference
+extraction surface (cmlburnett/pypdfproc) one feature at a time — see
+FIXTURES.md §2 for the feature matrix.  The reference ships no test PDFs of
+its own (SURVEY.md §5), so these are the corpus for the byte-identical
+differential test: ``pypdfproc.PDF(f).GetFullText()`` output is frozen as the
+golden, and the new engine must match it byte-for-byte.
+
+Everything is seed-free and wall-clock-free: identical output on every run.
+
+No code is copied from the reference; PDFs are assembled from the public PDF
+1.7 specification (ISO 32000-1) object/xref/stream syntax.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def _obj(oid: int, body: bytes) -> bytes:
+    return b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+
+
+def _stream_obj(oid: int, dict_extra: bytes, data: bytes) -> bytes:
+    """A stream object; dict_extra is everything except /Length."""
+    d = b"<< " + dict_extra + b" /Length %d >>" % len(data)
+    return (
+        b"%d 0 obj\n" % oid + d + b"\nstream\n" + data + b"\nendstream\nendobj\n"
+    )
+
+
+def flate(data: bytes) -> bytes:
+    return zlib.compress(data)
+
+
+def png_up_encode(rows: list[bytes]) -> bytes:
+    """Encode fixed-width rows with PNG Up predictor (type 2), the only
+    predictor the reference implements (decoder/flate.py:38-121)."""
+    out = bytearray()
+    prev = bytes(len(rows[0]))
+    for r in rows:
+        assert len(r) == len(prev)
+        out.append(2)
+        out.extend((b - p) % 256 for b, p in zip(r, prev))
+        prev = r
+    return bytes(out)
+
+
+class PdfFile:
+    """Assembles a PDF with a plaintext xref table (single 0-based subsection)."""
+
+    def __init__(self, version: b"1.4" = b"1.4"):
+        self.header = b"%PDF-" + version + b"\n"
+        self.bodies: dict[int, bytes] = {}
+
+    def add(self, oid: int, body: bytes) -> int:
+        self.bodies[oid] = _obj(oid, body)
+        return oid
+
+    def add_stream(self, oid: int, dict_extra: bytes, data: bytes) -> int:
+        self.bodies[oid] = _stream_obj(oid, dict_extra, data)
+        return oid
+
+    def add_raw(self, oid: int, raw: bytes) -> int:
+        self.bodies[oid] = raw
+        return oid
+
+    def build(self, root_oid: int, extra_trailer: bytes = b"") -> bytes:
+        out = bytearray(self.header)
+        offsets = {}
+        for oid in sorted(self.bodies):
+            offsets[oid] = len(out)
+            out += self.bodies[oid]
+        xref_off = len(out)
+        maxoid = max(self.bodies)
+        out += b"xref\n0 %d\n" % (maxoid + 1)
+        out += b"0000000000 65535 f \n"
+        for oid in range(1, maxoid + 1):
+            if oid in offsets:
+                out += b"%010d 00000 n \n" % offsets[oid]
+            else:
+                out += b"0000000000 65535 f \n"
+        out += (
+            b"trailer\n<< /Size %d /Root %d 0 R %s>>\nstartxref\n%d\n%%%%EOF\n"
+            % (maxoid + 1, root_oid, extra_trailer, xref_off)
+        )
+        return bytes(out)
+
+
+def simple_doc(content: bytes, font_body: bytes, n_pages: int = 1,
+               contents_per_page: list[bytes] | None = None,
+               page_extra: bytes = b"") -> bytes:
+    """1..n page document: catalog(1) pages(2) font(3) page(4..) content(4+n..)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    page_oids = [4 + i for i in range(n_pages)]
+    kids = b" ".join(b"%d 0 R" % o for o in page_oids)
+    f.add(2, b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages))
+    f.add(3, font_body)
+    for i, po in enumerate(page_oids):
+        co = 4 + n_pages + i
+        f.add(po, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                  b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R %s>>"
+              % (co, page_extra))
+        data = contents_per_page[i] if contents_per_page else content
+        f.add_stream(co, b"", data)
+    return f.build(1)
+
+
+HELV = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+
+def f01_hello() -> bytes:
+    """1 page, Type1 standard font (AFM widths), literal-string Tj."""
+    c = b"BT /F1 12 Tf 72 720 Td (Hello World) Tj ET"
+    return simple_doc(c, HELV)
+
+
+def f02_multipage() -> bytes:
+    """Nested page tree Pages -> (Page, Pages -> (Page, Page), Page, Page) = 5 leaves."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    # 2 = root Pages with kids [4, 3, 7, 8]; 3 = inner Pages with kids [5, 6]
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R 3 0 R 7 0 R 8 0 R] /Count 5 >>")
+    f.add(3, b"<< /Type /Pages /Parent 2 0 R /Kids [5 0 R 6 0 R] /Count 2 >>")
+    f.add(9, HELV)
+    for i, (po, parent) in enumerate([(4, 2), (5, 3), (6, 3), (7, 2), (8, 2)]):
+        co = 10 + i
+        f.add(po, b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+                  b"/Resources << /Font << /F1 9 0 R >> >> /Contents %d 0 R >>"
+              % (parent, co))
+        f.add_stream(co, b"", b"BT /F1 12 Tf 72 720 Td (Page %d) Tj ET" % (i + 1))
+    return f.build(1)
+
+
+def f03_kerning() -> bytes:
+    """TJ array with kerns above and below the 50%-of-avg-width threshold."""
+    # Helvetica avg nonzero AFM width is ~500-600; -400 > 0.5*avg -> space,
+    # -20 stays below the threshold -> no space.
+    c = b"BT /F1 12 Tf 72 720 Td [(Hello) -400 (World) -20 (!)] TJ ET"
+    return simple_doc(c, HELV)
+
+
+def f04_flate() -> bytes:
+    """FlateDecode content stream, no predictor."""
+    raw = b"BT /F1 12 Tf 72 720 Td (Deflated text) Tj ET"
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"/Filter /FlateDecode", flate(raw))
+    return f.build(1)
+
+
+def f05_xrefstream() -> bytes:
+    """xref stream (PNG-Up predictor 12) + object stream holding the graph."""
+    header = b"%PDF-1.5\n"
+    out = bytearray(header)
+    offsets = {}
+
+    # Object 5: content stream (plain object; streams cannot live in objstm)
+    offsets[5] = len(out)
+    out += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Compressed objects) Tj ET")
+
+    # Objects 1..4 (catalog, pages, font, page) inside object stream 6
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, HELV),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+    ]
+    bodies = b""
+    index = b""
+    offs = []
+    for oid, body in inner:
+        offs.append((oid, len(bodies)))
+        bodies += body + b" "
+    index = b" ".join(b"%d %d" % (o, off) for o, off in offs) + b" "
+    objstm_data = index + bodies
+    offsets[6] = len(out)
+    out += _stream_obj(
+        6,
+        b"/Type /ObjStm /N %d /First %d" % (len(inner), len(index)),
+        objstm_data,
+    )
+
+    # Object 7: the xref stream.  W = [1 2 1]; rows for oids 0..7.
+    xref_off = len(out)
+
+    def row(t, f2, f3):
+        return bytes([t, (f2 >> 8) & 0xFF, f2 & 0xFF, f3])
+
+    rows = [
+        row(0, 0, 255),          # 0: free
+        row(2, 6, 0),            # 1: in objstm 6, index 0
+        row(2, 6, 1),            # 2: in objstm 6, index 1
+        row(2, 6, 2),            # 3: in objstm 6, index 2
+        row(2, 6, 3),            # 4: in objstm 6, index 3
+        row(1, offsets[5], 0),   # 5: regular
+        row(1, offsets[6], 0),   # 6: regular
+        row(1, xref_off, 0),     # 7: the xref stream itself
+    ]
+    xdata = flate(png_up_encode(rows))
+    xdict = (
+        b"/Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>"
+    )
+    out += _stream_obj(7, xdict, xdata)
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
+def f06_widths() -> bytes:
+    """TrueType with explicit /Widths + WinAnsiEncoding; Td/TD/T* multi-line."""
+    font = (
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /FixtureSans "
+        b"/FirstChar 32 /LastChar 126 /Widths [%s] "
+        b"/Encoding /WinAnsiEncoding >>"
+        % b" ".join(b"500" for _ in range(95))
+    )
+    c = (b"BT /F1 10 Tf 72 700 Td (Line one) Tj "
+         b"0 -14 TD (Line two) Tj T* (Line three) Tj ET")
+    return simple_doc(c, font)
+
+
+def f07_differences() -> bytes:
+    """Encoding dict with /Differences + ToUnicode CMap (bfchar + bfrange)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    # Differences: code 65 -> glyph A (standard), codes 97.. -> custom g-names
+    # resolved only through the ToUnicode CMap (MissingGlyphName path).
+    f.add(6, b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+             b"/Differences [65 /A /B 97 /gx01 /gx02 /gx03] >>")
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin\nbegincmap\n"
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<61> <0061>\n<62> <0062>\nendbfchar\n"
+        b"1 beginbfrange\n<63> <63> <0063>\nendbfrange\n"
+        b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    )
+    f.add_stream(7, b"", cmap)
+    widths = b" ".join(b"450" for _ in range(40))  # covers 65..104
+    f.add(3, b"<< /Type /Font /Subtype /TrueType /BaseFont /FixtureDiff "
+             b"/FirstChar 65 /LastChar 104 /Widths [%s] "
+             b"/Encoding 6 0 R /ToUnicode 7 0 R >>" % widths)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    # Draw: A B (Differences->std glyphs), then a b c via CMap fallback names
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (AB) Tj 0 -20 Td (abc) Tj ET")
+    return f.build(1)
+
+
+def f08_type0() -> bytes:
+    """Type0 / Identity-H with 2-byte hexstring Tj and both /W forms."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    # Descendant CIDFontType2 with W in both forms:
+    #   [72 [600 610 620]]  (start + array)   covers cids 72..74 (H, I, J)
+    #   [101 108 550]       (lo hi same-width) covers cids 101..108 (e..l)
+    f.add(6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureCID "
+             b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+             b"/Supplement 0 >> /W [72 [600 610 620] 101 108 550] >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCID "
+             b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    # <00480069> = cids 72, 105 -> "Hi"; and cids 101,108,108 -> "ell"
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td <00480065006C006C> Tj ET")
+    return f.build(1)
+
+
+def f09_xobject() -> bytes:
+    """Form XObject invoked via Do, with its own /Resources (recursion)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    # NB: the page deliberately has NO /Font resource: the reference resolves
+    # font names by scanning the resource stack page-first (__init__.py:128-158)
+    # and raises if the page's Font dict exists but lacks the name.
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /XObject << /Fx1 6 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"q 1 0 0 1 0 0 cm /Fx1 Do Q")
+    xcontent = b"BT /F1 12 Tf 72 700 Td (Inside form) Tj ET"
+    # NB: the XObject's /Resources must be an indirect reference: the
+    # reference returns an inline dict un-wrapped (parser/__init__.py:920-925)
+    # and then GetFont crashes on Dictionary.Font -> page dropped.
+    f.add(7, b"<< /Font << /F1 3 0 R >> >>")
+    f.add_stream(
+        6,
+        b"/Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+        b"/Resources 7 0 R",
+        xcontent,
+    )
+    return f.build(1)
+
+
+def f10_incremental() -> bytes:
+    """Incremental update: content stream overridden in a second section."""
+    base = simple_doc(b"BT /F1 12 Tf 72 720 Td (Original text) Tj ET", HELV)
+    # locate original xref offset (startxref value at the tail)
+    tail = base.rsplit(b"startxref\n", 1)[1]
+    orig_xref = int(tail.split(b"\n", 1)[0])
+    # object 5 is the content stream in simple_doc layout; override it
+    upd = bytearray(base)
+    newoff = len(upd)
+    upd += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Updated text) Tj ET")
+    # NB: single subsection starting at the updated object -- the reference's
+    # xref consolidator only consumes the first subsection (parser/pdf.py:240-281).
+    xref_off = len(upd)
+    upd += b"xref\n5 1\n%010d 00000 n \n" % newoff
+    upd += (
+        b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (orig_xref, xref_off)
+    )
+    return bytes(upd)
+
+
+def f11_escapes() -> bytes:
+    """Literal-string escapes (\\n \\t octal, escaped parens, backslash)."""
+    # NB: stick to characters present in StandardEncoding -- the reference's
+    # Type1 path raises on unmapped cids (fontcache.py:118-119), which would
+    # drop the whole page.  \164 = 't', \040 = space.
+    c = (b"BT /F1 12 Tf 72 720 Td "
+         b"(Oc\\164al\\040char) Tj 0 -20 Td "
+         b"(par\\(en\\)s) Tj 0 -20 Td "
+         b"(back\\\\slash) Tj ET")
+    return simple_doc(c, HELV)
+
+
+def f12_badpage() -> bytes:
+    """Unsupported operator (') mid-page: page dropped, rest extracted.
+
+    Replicates the reference error policy: the page raises mid-render, its
+    partial text stays in the fold buffer and leaks into the next page
+    (__init__.py:287-296,542-543,607-609) and the page's pushed resources are
+    never popped.
+    """
+    pages = [
+        b"BT /F1 12 Tf 72 720 Td (First good page) Tj ET",
+        b"BT /F1 12 Tf 72 720 Td (Partial) Tj (bad) ' ET",
+        b"BT /F1 12 Tf 72 720 Td (Last good page) Tj ET",
+    ]
+    return simple_doc(b"", HELV, n_pages=3, contents_per_page=pages)
+
+
+FIXTURES = {
+    "f01_hello": f01_hello,
+    "f02_multipage": f02_multipage,
+    "f03_kerning": f03_kerning,
+    "f04_flate": f04_flate,
+    "f05_xrefstream": f05_xrefstream,
+    "f06_widths": f06_widths,
+    "f07_differences": f07_differences,
+    "f08_type0": f08_type0,
+    "f09_xobject": f09_xobject,
+    "f10_incremental": f10_incremental,
+    "f11_escapes": f11_escapes,
+    "f12_badpage": f12_badpage,
+}
+
+
+def build_all() -> dict[str, bytes]:
+    return {name: fn() for name, fn in FIXTURES.items()}
+
+
+if __name__ == "__main__":
+    import sys
+
+    for name, data in build_all().items():
+        sys.stdout.write("%s: %d bytes\n" % (name, len(data)))
