@@ -1,0 +1,247 @@
+"""Content-stream tokenizer: decoded stream bytes -> [Op(name, operands)].
+
+Re-implements the reference's PLY content lexer + postfix->prefix regrouping
+(parser/text.py:1-621) as a single operand-stack pass over bytes: operands
+are pushed; when an operator keyword is read, its operands are popped and an
+``Op`` is emitted — semantically identical to the reference's per-arity
+regrouping for well-formed streams, O(n) in one pass.
+
+Error parity: the reference's lexer raises on any byte it has no rule for
+(an operator outside its token list, parser/text.py:229-231), and its
+regrouper raises on operand-count mismatches (the ``lastidx`` checks).  Both
+become ContentError here; the interpreter's caller drops the page exactly as
+the reference's RenderPages does (__init__.py:287-296).
+"""
+
+from __future__ import annotations
+
+from .cos import HexStr, LitStr, PdfError, Scanner
+
+
+class ContentError(PdfError):
+    pass
+
+
+class Op:
+    __slots__ = ("name", "operands")
+
+    def __init__(self, name: str, operands: list):
+        self.name = name
+        self.operands = operands
+
+    def __repr__(self):
+        return "Op(%s, %r)" % (self.name, self.operands)
+
+
+# The reference's operator vocabulary (parser/text.py:7-113), keyed by the
+# raw keyword; values are the canonical op names used by the interpreter
+# ('* -> star' renames follow the reference's token names).
+_OPS = {
+    "BT": "BT", "ET": "ET",
+    "Tc": "Tc", "Tw": "Tw", "Tz": "Tz", "TL": "TL", "Tf": "Tf",
+    "Tr": "Tr", "Ts": "Ts", "Tk": "Tk",
+    "Td": "Td", "TD": "TD", "Tm": "Tm",
+    "T*": "Tstar", "'": "TstarTj", '"': "TwTcTstarTj",
+    "Tj": "Tj", "TJ": "TJ",
+    "CS": "CS", "cs": "cs", "SCN": "SCN", "SC": "SC", "scn": "scn",
+    "sc": "sc", "G": "G", "g": "g", "RG": "RG", "rg": "rg", "K": "K",
+    "k": "k",
+    "MP": "MP", "DP": "DP", "BMC": "BMC", "BDC": "BDC", "EMC": "EMC",
+    "q": "q", "Q": "Q", "cm": "cm", "w": "w", "j": "j", "J": "J",
+    "M": "M", "d": "d", "ri": "ri", "i": "i", "gs": "gs",
+    "m": "m", "l": "l", "c": "c", "v": "v", "y": "y", "h": "h", "re": "re",
+    "S": "S", "s": "s", "f": "f", "F": "F", "f*": "fstar",
+    "B": "B", "B*": "Bstar", "b": "b", "b*": "bstar", "n": "n",
+    "W": "W", "W*": "Wstar",
+    "Do": "Do",
+}
+
+# Fixed arities (reference: parser/text.py:343-621 regrouping classes).
+_ARITY = {}
+for _n in ("q", "Q", "h", "S", "s", "F", "f", "fstar", "B", "Bstar", "b",
+           "bstar", "n", "W", "Wstar", "BT", "ET", "Tstar", "EMC"):
+    _ARITY[_n] = 0
+for _n in ("w", "J", "j", "M", "ri", "i", "gs", "CS", "cs", "G", "g", "Do",
+           "Tc", "Tw", "Tz", "TL", "Tr", "Ts", "Tj", "TstarTj", "MP", "BMC"):
+    _ARITY[_n] = 1
+for _n in ("m", "l", "Tf", "Td", "TD", "DP", "BDC"):
+    _ARITY[_n] = 2
+for _n in ("RG", "rg", "TwTcTstarTj"):
+    _ARITY[_n] = 3
+for _n in ("v", "y", "re", "K", "k"):
+    _ARITY[_n] = 4
+for _n in ("cm", "c", "Tm"):
+    _ARITY[_n] = 6
+# TJ: one array operand; d: array + number; SC/sc/SCN/scn: variadic.
+
+
+def tokenize_content(data: bytes) -> list[Op]:
+    """Tokenize + regroup a decoded content stream."""
+    sc = Scanner(data)
+    stack: list = []
+    ops: list[Op] = []
+    while True:
+        try:
+            kind, val = sc.next_token()
+        except PdfError as e:
+            raise ContentError(str(e)) from None
+        if kind == "eof":
+            break
+        if kind in ("int", "float", "name", "lit", "hex"):
+            stack.append(val)
+            continue
+        if kind == "arr<":
+            arr = []
+            while True:
+                k2, v2 = sc.next_token()
+                if k2 == "arr>":
+                    break
+                if k2 == "eof":
+                    raise ContentError("unterminated array in content stream")
+                if k2 not in ("int", "float", "name", "lit", "hex"):
+                    raise ContentError("unexpected %s inside array" % k2)
+                arr.append(v2)
+            stack.append(arr)
+            continue
+        if kind == "dict<":
+            stack.append(_parse_inline_dict(sc))
+            continue
+        if kind != "kw":
+            raise ContentError("unexpected token %r in content stream" % kind)
+
+        name = _OPS.get(val)
+        if name is None:
+            # reference lexer has no rule for this keyword -> lex error ->
+            # page dropped (parser/text.py:229-231)
+            raise ContentError("unknown content operator %r" % val)
+
+        if name == "TJ":
+            if not stack or not isinstance(stack[-1], list):
+                raise ContentError("TJ without array operand")
+            operands = stack.pop()
+            if stack:
+                raise ContentError("stray operands before TJ")
+        elif name == "d":
+            if len(stack) != 2 or not isinstance(stack[0], list):
+                raise ContentError("d expects [array num]")
+            operands = [stack[0], stack[1]]
+            stack = []
+        elif name in ("SC", "sc", "SCN", "scn"):
+            operands = stack
+            stack = []
+        else:
+            arity = _ARITY[name]
+            if len(stack) != arity:
+                raise ContentError(
+                    "operator %s expected %d operands, got %d"
+                    % (name, arity, len(stack))
+                )
+            operands = stack
+            stack = []
+        ops.append(Op(name, operands))
+    # trailing operands with no operator: the reference returns them as
+    # 'residual' (parser/text.py:621) and RenderPage ignores it -- drop.
+    return ops
+
+
+def _parse_inline_dict(sc: Scanner) -> dict:
+    items = []
+    while True:
+        kind, val = sc.next_token()
+        if kind == "dict>":
+            break
+        if kind == "eof":
+            raise ContentError("unterminated dictionary in content stream")
+        if kind == "dict<":
+            items.append(_parse_inline_dict(sc))
+        elif kind in ("int", "float", "name", "lit", "hex"):
+            items.append(val)
+        elif kind == "arr<":
+            arr = []
+            while True:
+                k2, v2 = sc.next_token()
+                if k2 == "arr>":
+                    break
+                arr.append(v2)
+            items.append(arr)
+        else:
+            raise ContentError("unexpected %s in inline dict" % kind)
+    if len(items) % 2:
+        items.append(None)
+    return {items[k]: items[k + 1] for k in range(0, len(items), 2)}
+
+
+def split_literal(raw: bytes) -> list[str]:
+    """Split a literal string into drawable characters, replicating the
+    reference's SplitLiteral escape semantics exactly (__init__.py:659-719):
+    ``\\\\`` keeps one backslash; ``\\n``-style named escapes decode;
+    escaped *actual* control characters pass through; 1-3 digit octal
+    decodes; anything else is an error (-> page drop).  Operates on the
+    latin-1 view, as the reference does throughout."""
+    lit = raw.decode("latin-1")
+    ret: list[str] = []
+    i = 0
+    imax = len(lit)
+    while i < imax:
+        ch = lit[i]
+        if ch != "\\":
+            ret.append(ch)
+            i += 1
+            continue
+        if i + 1 >= imax:
+            raise ContentError("dangling backslash in literal")
+        nxt = lit[i + 1]
+        if nxt == "\\":
+            ret.append("\\")
+            i += 2
+        elif nxt in ("\n", "\r", "\t", "\b", "\f"):
+            ret.append(nxt)
+            i += 2
+        elif nxt == "n":
+            ret.append("\n")
+            i += 2
+        elif nxt == "r":
+            ret.append("\r")
+            i += 2
+        elif nxt == "t":
+            ret.append("\t")
+            i += 2
+        elif nxt == "b":
+            ret.append("\b")
+            i += 2
+        elif nxt == "f":
+            ret.append("\f")
+            i += 2
+        elif nxt.isdigit():
+            # NB: the reference indexes lit[i+2]/lit[i+3] unguarded and dies
+            # with IndexError at end-of-string (same page-drop outcome).
+            if i + 3 < imax and lit[i + 2].isdigit() and lit[i + 3].isdigit():
+                ret.append(chr(int(lit[i + 1 : i + 4], 8)))
+                i += 4
+            elif i + 2 < imax and lit[i + 2].isdigit():
+                ret.append(chr(int(lit[i + 1 : i + 3], 8)))
+                i += 3
+            else:
+                ret.append(chr(int(nxt, 8)))
+                i += 2
+        else:
+            raise ContentError(
+                "unhandled escape '\\%s' in literal at %d" % (nxt, i)
+            )
+    return ret
+
+
+def split_hex(hexdigits: str, bytesize: int) -> list[str]:
+    """Split a hex string into ``bytesize``-byte characters (reference:
+    __init__.py:721-740): odd length gets one trailing '0'; a length not a
+    multiple of 2*bytesize is an error."""
+    txt = hexdigits
+    if len(txt) % 2 == 1:
+        txt += "0"
+    width = bytesize * 2
+    if len(txt) % width != 0:
+        raise ContentError(
+            "cannot split hex string len=%d into %d-byte chars"
+            % (len(txt), bytesize)
+        )
+    return [chr(int(txt[i : i + width], 16)) for i in range(0, len(txt), width)]

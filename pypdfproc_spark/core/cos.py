@@ -1,0 +1,633 @@
+"""COS ("Carousel") object-system parser: bytes in, object graph out.
+
+A from-scratch, bytes-level re-implementation of the parsing surface of the
+reference (cmlburnett/pypdfproc): COS lexing (reference: parser/pdf.py:7-116),
+token consolidation (parser/pdf.py:217-490), xref/trailer chain walking
+(parser/__init__.py:67-183,250-306), object and object-stream loading
+(parser/__init__.py:310-441,1065-1127) — collapsed into a single-pass
+recursive-descent parser over ``bytes`` instead of the reference's
+PLY-lexer + 7 linear consolidation passes over latin-1 ``str``.
+
+Design notes (scale):
+- the whole payload is already in memory (an Arrow binary cell); parsing
+  slices it directly — no mmap/block-read machinery is needed.
+- per-document object cache is a plain dict; there is no cross-document
+  state, so batches parallelize embarrassingly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from . import filters
+
+
+class PdfError(Exception):
+    """Any structural problem with a document (malformed, unsupported)."""
+
+
+class Ref(NamedTuple):
+    """Indirect object reference "objid gen R" (reference: pdf.py:193-202)."""
+
+    objid: int
+    gen: int
+
+
+class LitStr:
+    """Literal string ``(...)`` — raw bytes, with escaped parens already
+    unescaped exactly as the reference's lexer does (parser/pdf.py:196,
+    parser/text.py:329); all other escapes stay raw until draw time
+    (reference defers to SplitLiteral, __init__.py:659-719)."""
+
+    __slots__ = ("raw",)
+
+    def __init__(self, raw: bytes):
+        self.raw = raw
+
+    def __repr__(self):
+        return "LitStr(%r)" % self.raw
+
+    def __eq__(self, other):
+        return isinstance(other, LitStr) and self.raw == other.raw
+
+
+class HexStr:
+    """Hex string ``<...>`` — kept as the hex-digit text, like the
+    reference's Hexstring (parser/pdf.py:95-100)."""
+
+    __slots__ = ("hexdigits",)
+
+    def __init__(self, hexdigits: str):
+        self.hexdigits = hexdigits
+
+    def __repr__(self):
+        return "HexStr(%s)" % self.hexdigits
+
+    def __eq__(self, other):
+        return isinstance(other, HexStr) and self.hexdigits == other.hexdigits
+
+
+class StreamObj:
+    """Stream object: dictionary + raw bytes; decoded lazily and cached
+    (reference: pdf.py:441-477 PDFStreamBase)."""
+
+    __slots__ = ("dict", "raw", "_decoded")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.dict = d
+        self.raw = raw
+        self._decoded = None
+
+    @property
+    def data(self) -> bytes:
+        if self._decoded is None:
+            self._decoded = filters.decode_stream(self.dict, self.raw)
+        return self._decoded
+
+
+WHITESPACE = b"\x00\t\n\x0c\r "
+DELIMS = b"()<>[]{}/%"
+_REGULAR = bytes(
+    b for b in range(256) if b not in WHITESPACE and b not in DELIMS
+)
+
+
+class Scanner:
+    """Single-pass tokenizer over bytes.
+
+    Token kinds: 'int' 'float' 'name' 'lit' 'hex' 'dict<' 'dict>' 'arr<'
+    'arr>' 'kw' (bare keyword: obj endobj stream endstream R true false null
+    xref trailer startxref n f or any content operator) 'eof'.
+    """
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        data, n = self.data, len(self.data)
+        i = self.pos
+        while i < n:
+            b = data[i]
+            if b in WHITESPACE:
+                i += 1
+            elif b == 0x25:  # '%' comment to EOL (incl. %%EOF -- handled by caller context)
+                j = i
+                while j < n and data[j] not in b"\r\n":
+                    j += 1
+                i = j
+            else:
+                break
+        self.pos = i
+
+    def peek_token(self):
+        save = self.pos
+        tok = self.next_token()
+        self.pos = save
+        return tok
+
+    def next_token(self):
+        self._skip_ws()
+        data, n = self.data, len(self.data)
+        i = self.pos
+        if i >= n:
+            return ("eof", None)
+        b = data[i]
+
+        if b == 0x2F:  # '/' name
+            j = i + 1
+            while j < n and data[j] in _REGULAR:
+                j += 1
+            self.pos = j
+            return ("name", data[i + 1 : j].decode("latin-1"))
+
+        if b == 0x28:  # '(' literal string: balanced-paren scan
+            # Replicates the reference's backslash-run parity rule
+            # (parser/text.py:293-333): a paren is escaped iff preceded by an
+            # odd number of backslashes.
+            depth = 1
+            j = i + 1
+            start = j
+            while j < n and depth > 0:
+                c = data[j]
+                if c in b"()":
+                    k = j - 1
+                    backs = 0
+                    while k >= 0 and data[k] == 0x5C:
+                        backs += 1
+                        k -= 1
+                    if backs % 2 == 0:
+                        depth += 1 if c == 0x28 else -1
+                j += 1
+            if depth != 0:
+                raise PdfError("unterminated literal string at %d" % i)
+            raw = data[start : j - 1].replace(b"\\(", b"(").replace(b"\\)", b")")
+            self.pos = j
+            return ("lit", LitStr(raw))
+
+        if b == 0x3C:  # '<' -> '<<' or hex string
+            if i + 1 < n and data[i + 1] == 0x3C:
+                self.pos = i + 2
+                return ("dict<", None)
+            j = i + 1
+            while j < n and data[j] != 0x3E:
+                j += 1
+            if j >= n:
+                raise PdfError("unterminated hex string at %d" % i)
+            hx = bytes(
+                c for c in data[i + 1 : j] if c not in WHITESPACE
+            ).decode("latin-1")
+            self.pos = j + 1
+            return ("hex", HexStr(hx))
+
+        if b == 0x3E:  # '>' -> '>>'
+            if i + 1 < n and data[i + 1] == 0x3E:
+                self.pos = i + 2
+                return ("dict>", None)
+            raise PdfError("lone '>' at %d" % i)
+
+        if b == 0x5B:
+            self.pos = i + 1
+            return ("arr<", None)
+        if b == 0x5D:
+            self.pos = i + 1
+            return ("arr>", None)
+
+        if 0x30 <= b <= 0x39 or b in b"+-.":
+            j = i
+            if data[j] in b"+-":
+                j += 1
+            isfloat = False
+            while j < n and (0x30 <= data[j] <= 0x39 or data[j] == 0x2E):
+                if data[j] == 0x2E:
+                    isfloat = True
+                j += 1
+            text = data[i:j].decode("latin-1")
+            self.pos = j
+            if isfloat:
+                return ("float", float(text))
+            return ("int", int(text))
+
+        # bare keyword / operator
+        j = i
+        while j < n and data[j] in _REGULAR:
+            j += 1
+        if j == i:
+            raise PdfError("unexpected byte 0x%02x at %d" % (b, i))
+        self.pos = j
+        return ("kw", data[i:j].decode("latin-1"))
+
+
+class Parser:
+    """Recursive-descent value parser (replaces the reference's
+    ConsolidateTokens passes + TokenHelpers.Convert,
+    parser/pdf.py:217-490 + parser/__init__.py:1225-1309)."""
+
+    def __init__(self, data: bytes, pos: int = 0, doc: "PdfDocument|None" = None):
+        self.sc = Scanner(data, pos)
+        self.doc = doc
+
+    def parse_value(self, tok=None):
+        if tok is None:
+            tok = self.sc.next_token()
+        kind, val = tok
+        if kind in ("lit", "hex", "name", "float"):
+            return val
+        if kind == "int":
+            # lookahead for "INT INT R" indirect reference
+            save = self.sc.pos
+            t2 = self.sc.next_token()
+            if t2[0] == "int":
+                t3 = self.sc.next_token()
+                if t3 == ("kw", "R"):
+                    return Ref(val, t2[1])
+            self.sc.pos = save
+            return val
+        if kind == "arr<":
+            out = []
+            while True:
+                t = self.sc.next_token()
+                if t[0] == "arr>":
+                    return out
+                if t[0] == "eof":
+                    raise PdfError("unterminated array")
+                out.append(self.parse_value(t))
+        if kind == "dict<":
+            items = []
+            while True:
+                t = self.sc.next_token()
+                if t[0] == "dict>":
+                    break
+                if t[0] == "eof":
+                    raise PdfError("unterminated dictionary")
+                items.append(self.parse_value(t))
+            # odd item count -> pad with null, as the reference does
+            # (parser/pdf.py:373-379)
+            if len(items) % 2:
+                items.append(None)
+            return {items[k]: items[k + 1] for k in range(0, len(items), 2)}
+        if kind == "kw":
+            if val == "true":
+                return True
+            if val == "false":
+                return False
+            if val == "null":
+                return None
+            raise PdfError("unexpected keyword %r" % val)
+        raise PdfError("unexpected token %r" % (tok,))
+
+    def parse_indirect_object(self):
+        """Parse "objid gen obj <value> [stream...endstream] endobj" starting
+        at the current position.  Returns (objid, gen, value)."""
+        t1 = self.sc.next_token()
+        t2 = self.sc.next_token()
+        t3 = self.sc.next_token()
+        if t1[0] != "int" or t2[0] != "int" or t3 != ("kw", "obj"):
+            raise PdfError("expected 'objid gen obj', got %r %r %r" % (t1, t2, t3))
+        objid, gen = t1[1], t2[1]
+        val = self.parse_value()
+        t = self.sc.next_token()
+        if t == ("kw", "stream"):
+            if not isinstance(val, dict):
+                raise PdfError("stream without dictionary")
+            data = self.sc.data
+            i = self.sc.pos
+            # skip single EOL after 'stream' (reference: parser/pdf.py:152-156)
+            if i < len(data) and data[i] == 0x0D:
+                i += 1
+            if i < len(data) and data[i] == 0x0A:
+                i += 1
+            length = val.get("Length")
+            if isinstance(length, Ref):
+                if self.doc is None:
+                    raise PdfError("indirect /Length with no document context")
+                length = self.doc.get(length)
+            if isinstance(length, int) and 0 <= length <= len(data) - i:
+                raw = data[i : i + length]
+                j = i + length
+                # tolerate EOL before endstream
+                while j < len(data) and data[j] in b"\r\n":
+                    j += 1
+                if data[j : j + 9] != b"endstream":
+                    # /Length disagreed with reality: recover by scanning
+                    end = data.find(b"endstream", i)
+                    if end < 0:
+                        raise PdfError("missing endstream for object %d" % objid)
+                    raw = data[i:end].rstrip(b"\r\n")
+                    j = end
+            else:
+                end = data.find(b"endstream", i)
+                if end < 0:
+                    raise PdfError("missing endstream for object %d" % objid)
+                raw = data[i:end].rstrip(b"\r\n")
+                j = end
+            self.sc.pos = j
+            t = self.sc.next_token()
+            if t != ("kw", "endstream"):
+                raise PdfError("expected endstream, got %r" % (t,))
+            val = StreamObj(val, raw)
+            t = self.sc.next_token()
+        if t != ("kw", "endobj"):
+            # tolerate missing endobj (some writers omit it)
+            pass
+        return objid, gen, val
+
+
+# -----------------------------------------------------------------------------
+# xref / trailer chain
+
+
+def _parse_xref_table(data: bytes, pos: int):
+    """Parse a plaintext xref section at ``pos``.  Returns
+    (entries, trailer_dict, startxref_offset).
+
+    Unlike the reference (which consumes only the first subsection,
+    parser/pdf.py:240-281), all subsections are read — a deliberate
+    correctness improvement for real-corpus PDFs; no fixture depends on the
+    reference's limitation.
+    """
+    sc = Scanner(data, pos)
+    t = sc.next_token()
+    if t != ("kw", "xref"):
+        raise PdfError("expected 'xref' at %d" % pos)
+    entries = []  # (objid, gen, offset, in_use)
+    while True:
+        save = sc.pos
+        t = sc.next_token()
+        if t == ("kw", "trailer"):
+            break
+        if t[0] != "int":
+            raise PdfError("malformed xref subsection header: %r" % (t,))
+        t2 = sc.next_token()
+        if t2[0] != "int":
+            raise PdfError("malformed xref subsection header")
+        first, count = t[1], t2[1]
+        for k in range(count):
+            o = sc.next_token()
+            g = sc.next_token()
+            f = sc.next_token()
+            if o[0] != "int" or g[0] != "int" or f[0] != "kw" or f[1] not in "nf":
+                raise PdfError("malformed xref row")
+            entries.append((first + k, g[1], o[1], f[1] == "n"))
+    p = Parser(data, sc.pos)
+    trailer = p.parse_value()
+    if not isinstance(trailer, dict):
+        raise PdfError("trailer is not a dictionary")
+    t = p.sc.next_token()
+    sxr = None
+    if t == ("kw", "startxref"):
+        t2 = p.sc.next_token()
+        if t2[0] == "int":
+            sxr = t2[1]
+    return entries, trailer, sxr
+
+
+def _xref_stream_rows(stm: StreamObj):
+    """Decode an xref stream (reference: pdf.py:599-660) into
+    (objid, type, f2, f3) rows.  Supports multi-part /Index (spec-correct;
+    the reference reads only Index[0:2])."""
+    d = stm.dict
+    w = d["W"]
+    if len(w) != 3:
+        raise PdfError("xref stream /W must have 3 entries")
+    size = d.get("Size")
+    index = d.get("Index", [0, size])
+    data = stm.data
+    rowsize = sum(w)
+    rows = []
+    off = 0
+
+    def field(width, off):
+        v = 0
+        for k in range(width):
+            v = (v << 8) | data[off + k]
+        return v
+
+    for part in range(0, len(index), 2):
+        start, count = index[part], index[part + 1]
+        for k in range(count):
+            if off + rowsize > len(data):
+                raise PdfError("xref stream truncated")
+            f1 = field(w[0], off) if w[0] else 1  # default type 1 per spec
+            f2 = field(w[1], off + w[0])
+            f3 = field(w[2], off + w[0] + w[1])
+            rows.append((start + k, f1, f2, f3))
+            off += rowsize
+    return rows
+
+
+class PdfDocument:
+    """Parsed PDF document over an in-memory payload.
+
+    Replaces the reference's PDF/PDFTokenizer pair (pdf.py:13-138 +
+    parser/__init__.py:40-183): header parse, startxref discovery (tail
+    scan), xref/trailer incremental-update chain (newest wins), object map,
+    parse-once object cache.
+    """
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.version = self._parse_header()
+        self.objmap: dict[tuple[int, int], object] = {}
+        self.cache: dict[tuple[int, int], object] = {}
+        self.trailer: dict = {}
+        self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._walk_xref_chain()
+
+    def _parse_header(self) -> str:
+        if not self.data.startswith(b"%PDF-"):
+            raise PdfError("not a PDF (missing %PDF- header)")
+        eol = self.data.find(b"\n", 0, 64)
+        line = self.data[5 : eol if eol > 0 else 16]
+        return line.split()[0].decode("latin-1", "replace")
+
+    def _find_startxref(self) -> int:
+        tail = self.data[-2048:]
+        k = tail.rfind(b"startxref")
+        if k < 0:
+            k = self.data.rfind(b"startxref")
+            if k < 0:
+                raise PdfError("startxref not found")
+            sc = Scanner(self.data, k)
+        else:
+            sc = Scanner(tail, k)
+        t = sc.next_token()  # 'startxref'
+        t = sc.next_token()
+        if t[0] != "int":
+            raise PdfError("startxref offset missing")
+        return t[1]
+
+    def _walk_xref_chain(self) -> None:
+        offset = self._find_startxref()
+        seen = set()
+        newest_trailer_set = False
+        while offset != 0 and offset not in seen:
+            seen.add(offset)
+            if offset >= len(self.data):
+                raise PdfError("xref offset beyond EOF")
+            # Sniff: xref stream starts with "INT INT obj" (reference:
+            # parser/__init__.py:212-237); plaintext starts with 'xref'.
+            sc = Scanner(self.data, offset)
+            t = sc.peek_token()
+            if t == ("kw", "xref"):
+                entries, trailer, sxr = _parse_xref_table(self.data, offset)
+                for objid, gen, off, in_use in entries:
+                    key = (objid, gen)
+                    if in_use and key not in self.objmap:
+                        self.objmap[key] = off
+                if not newest_trailer_set:
+                    self.trailer = trailer
+                    newest_trailer_set = True
+                prev = trailer.get("Prev")
+                if isinstance(prev, int):
+                    offset = prev
+                elif "XRefStm" in trailer and isinstance(trailer["XRefStm"], int):
+                    offset = trailer["XRefStm"]
+                else:
+                    offset = 0
+            else:
+                p = Parser(self.data, offset, doc=self)
+                _, _, stm = p.parse_indirect_object()
+                if not isinstance(stm, StreamObj):
+                    raise PdfError("xref offset does not point at xref data")
+                for objid, typ, f2, f3 in _xref_stream_rows(stm):
+                    if typ == 0:
+                        continue
+                    if typ == 1:
+                        key = (objid, f3)  # f3 = generation
+                        if key not in self.objmap:
+                            self.objmap[key] = f2
+                    elif typ == 2:
+                        key = (objid, 0)  # compressed objects are gen 0
+                        if key not in self.objmap:
+                            self.objmap[key] = ("objstm", f2, f3)
+                    else:
+                        raise PdfError("unknown xref stream row type %d" % typ)
+                if not newest_trailer_set:
+                    self.trailer = dict(stm.dict)
+                    newest_trailer_set = True
+                prev = stm.dict.get("Prev")
+                offset = prev if isinstance(prev, int) else 0
+        if not self.trailer:
+            raise PdfError("no trailer found")
+
+    # ------------------------------------------------------------------
+    # object access
+
+    def get(self, ref):
+        """Load an object by Ref (cached; reference GetObject,
+        parser/__init__.py:416-441)."""
+        if not isinstance(ref, Ref):
+            return ref
+        key = (ref.objid, ref.gen)
+        if key in self.cache:
+            return self.cache[key]
+        loc = self.objmap.get(key)
+        if loc is None:
+            raise PdfError("object %d %d not in xref" % key)
+        if isinstance(loc, int):
+            p = Parser(self.data, loc, doc=self)
+            objid, gen, val = p.parse_indirect_object()
+            if objid != ref.objid:
+                raise PdfError(
+                    "xref points %r at object %d" % (key, objid)
+                )
+        else:
+            _, stm_oid, idx = loc
+            val = self._load_from_objstm(stm_oid, idx)
+        self.cache[key] = val
+        return val
+
+    def _load_from_objstm(self, stm_oid: int, idx: int):
+        """Load object #idx from object stream (reference:
+        parser/__init__.py:1065-1127, but parsed positionally instead of by
+        token-lexpos slicing)."""
+        objs = self._objstm_cache.get(stm_oid)
+        if objs is None:
+            stm = self.get(Ref(stm_oid, 0))
+            if not isinstance(stm, StreamObj):
+                raise PdfError("object stream %d is not a stream" % stm_oid)
+            n = stm.dict["N"]
+            first = stm.dict["First"]
+            body = stm.data
+            hdr = Scanner(body)
+            pairs = []
+            for _ in range(n):
+                o = hdr.next_token()
+                off = hdr.next_token()
+                if o[0] != "int" or off[0] != "int":
+                    raise PdfError("malformed object stream index")
+                pairs.append((o[1], off[1]))
+            objs = {}
+            for i, (oid, off) in enumerate(pairs):
+                p = Parser(body, first + off, doc=self)
+                objs[i] = p.parse_value()
+            self._objstm_cache[stm_oid] = objs
+        if idx not in objs:
+            raise PdfError("object stream %d has no index %d" % (stm_oid, idx))
+        return objs[idx]
+
+    def resolve(self, v):
+        """Chase indirect references (single level)."""
+        while isinstance(v, Ref):
+            v = self.get(v)
+        return v
+
+    # ------------------------------------------------------------------
+    # document structure
+
+    def catalog(self) -> dict:
+        root = self.trailer.get("Root")
+        if root is None:
+            raise PdfError("trailer has no /Root")
+        cat = self.resolve(root)
+        if not isinstance(cat, dict):
+            raise PdfError("/Root is not a dictionary")
+        return cat
+
+    def pages(self) -> list[dict]:
+        """Ordered leaf pages via DFS of the page tree (reference:
+        pdf.py:522-538 DFSPages)."""
+        cat = self.catalog()
+        root = self.resolve(cat.get("Pages"))
+        if not isinstance(root, dict):
+            raise PdfError("catalog /Pages missing")
+        out: list[dict] = []
+        self._dfs(root, out, depth=0)
+        return out
+
+    def _dfs(self, node: dict, out: list, depth: int) -> None:
+        if depth > 64:
+            raise PdfError("page tree too deep (cycle?)")
+        for kid in self.resolve(node.get("Kids")) or []:
+            k = self.resolve(kid)
+            if not isinstance(k, dict):
+                raise PdfError("page tree kid is not a dictionary")
+            t = k.get("Type")
+            if t == "Page":
+                out.append(k)
+            elif t == "Pages":
+                self._dfs(k, out, depth + 1)
+            else:
+                raise PdfError("unexpected page-tree node type %r" % t)
+
+    def page_content(self, page: dict) -> bytes:
+        """Concatenated decoded content streams for a page.  Array contents
+        are joined with a single b' ' exactly like the reference
+        (__init__.py:312-325)."""
+        cts = self.resolve(page.get("Contents"))
+        if cts is None:
+            return b""
+        if isinstance(cts, list):
+            parts = []
+            for c in cts:
+                c = self.resolve(c)
+                if not isinstance(c, StreamObj):
+                    raise PdfError("content array entry is not a stream")
+                parts.append(c.data)
+            return b" ".join(parts)
+        if not isinstance(cts, StreamObj):
+            raise PdfError("page /Contents is not a stream")
+        return cts.data

@@ -1,0 +1,197 @@
+"""Stream filters: FlateDecode + PNG predictors.
+
+Re-implements the reference's decoder surface (decoder/flate.py:8-121) from
+the public PDF 1.7 / RFC 1951 / PNG specs, vectorized with numpy where the
+reference used per-byte Python loops:
+
+- FlateDecode            (reference: decoder/flate.py:8-36)
+- PNG Up predictor (12)  (reference: decoder/flate.py:38-121 -- O(n) python
+                          loop there; numpy cumsum here)
+- plus PNG None/Sub/Average/Paeth and per-row predictor dispatch (predictor
+  >= 10 means "PNG, per-row tag chooses the algorithm" per the PNG spec;
+  the reference only accepts tag 2/Up).  TIFF predictor 2 is implemented for
+  8-bit samples.
+
+Unsupported filters raise UnsupportedFilterError -- the extraction pipeline
+records these as decode_failures instead of crashing (north_star metric).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+
+class DecodeError(Exception):
+    pass
+
+
+class UnsupportedFilterError(DecodeError):
+    pass
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    """Undo PNG row filters.  Row layout: 1 tag byte + rowlen data bytes."""
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    stride = rowlen + 1
+    if len(data) % stride != 0:
+        raise DecodeError(
+            "PNG-predicted data length %d not a multiple of row stride %d"
+            % (len(data), stride)
+        )
+    nrows = len(data) // stride
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(nrows, stride)
+    tags = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int32)
+
+    if np.all(tags == 2):
+        # Pure "Up" stream (the only layout PDF writers emit for xref
+        # streams, and all the reference supports): one vectorized cumsum.
+        out = np.cumsum(rows, axis=0, dtype=np.int64) % 256
+        return out.astype(np.uint8).tobytes()
+
+    # General per-row dispatch (rare): still row-vectorized for Up/None.
+    out = np.zeros((nrows, rowlen), dtype=np.int32)
+    prev = np.zeros(rowlen, dtype=np.int32)
+    for r in range(nrows):
+        tag = tags[r]
+        cur = rows[r]
+        if tag == 0:
+            res = cur
+        elif tag == 1:  # Sub
+            res = cur.copy()
+            for c in range(bpp, rowlen):
+                res[c] = (res[c] + res[c - bpp]) % 256
+        elif tag == 2:  # Up
+            res = (cur + prev) % 256
+        elif tag == 3:  # Average
+            res = cur.copy()
+            for c in range(rowlen):
+                left = res[c - bpp] if c >= bpp else 0
+                res[c] = (res[c] + (left + prev[c]) // 2) % 256
+        elif tag == 4:  # Paeth
+            res = cur.copy()
+            for c in range(rowlen):
+                a = res[c - bpp] if c >= bpp else 0
+                b = prev[c]
+                cc = prev[c - bpp] if c >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                res[c] = (res[c] + pred) % 256
+        else:
+            raise DecodeError("unknown PNG row filter tag %d" % tag)
+        out[r] = res
+        prev = res
+    return out.astype(np.uint8).tobytes()
+
+
+def _tiff_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    if bpc != 8:
+        raise UnsupportedFilterError("TIFF predictor with bpc != 8")
+    rowlen = columns * colors
+    if len(data) % rowlen != 0:
+        raise DecodeError("TIFF-predicted data not a multiple of row length")
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, rowlen // colors, colors)
+    out = np.cumsum(arr.astype(np.int64), axis=1) % 256
+    return out.astype(np.uint8).tobytes()
+
+
+def flate_decode(data: bytes, parms: dict | None) -> bytes:
+    try:
+        raw = zlib.decompress(data)
+    except zlib.error as e:
+        raise DecodeError("zlib: %s" % e) from None
+    parms = parms or {}
+    pred = parms.get("Predictor", 1)
+    if pred in (0, 1):
+        return raw
+    columns = parms.get("Columns", 1)
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    if pred == 2:
+        return _tiff_unpredict(raw, columns, colors, bpc)
+    if 10 <= pred <= 15:
+        return _png_unpredict(raw, columns, colors, bpc)
+    raise UnsupportedFilterError("unknown predictor %d" % pred)
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    body = data.split(b">")[0]
+    hx = bytes(c for c in body if c not in b"\x00\t\n\x0c\r ")
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except ValueError as e:
+        raise DecodeError("ASCIIHex: %s" % e) from None
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = data.strip()
+    if body.startswith(b"<~"):
+        body = body[2:]
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    try:
+        return base64.a85decode(body, ignorechars=b" \t\n\r\x0c\x00")
+    except ValueError as e:
+        raise DecodeError("ASCII85: %s" % e) from None
+
+
+def _rl_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        l = data[i]
+        if l == 128:
+            break
+        if l < 128:
+            out += data[i + 1 : i + 2 + l]
+            i += 2 + l
+        else:
+            out += data[i + 1 : i + 2] * (257 - l)
+            i += 2
+    return bytes(out)
+
+
+def decode_stream(d: dict, raw: bytes) -> bytes:
+    """Apply the (possibly chained) /Filter of a stream dictionary.
+
+    The reference supports FlateDecode only and raises ValueError otherwise
+    (pdf.py:454-477); here unsupported filters raise UnsupportedFilterError
+    which the pipeline turns into a decode_failures metric event.
+    """
+    filt = d.get("Filter")
+    if filt is None:
+        return raw
+    filts = filt if isinstance(filt, list) else [filt]
+    parms = d.get("DecodeParms", d.get("DP"))
+    if not isinstance(parms, list):
+        parms = [parms] * len(filts)
+    data = raw
+    for f, p in zip(filts, parms):
+        p = p if isinstance(p, dict) else {}
+        if f == "FlateDecode" or f == "Fl":
+            data = flate_decode(data, p)
+        elif f == "ASCIIHexDecode" or f == "AHx":
+            data = _ascii_hex_decode(data)
+        elif f == "ASCII85Decode" or f == "A85":
+            data = _ascii85_decode(data)
+        elif f == "RunLengthDecode" or f == "RL":
+            data = _rl_decode(data)
+        elif f in ("DCTDecode", "JPXDecode", "CCITTFaxDecode", "JBIG2Decode"):
+            # image codecs: opaque payloads for the text-extraction engine
+            raise UnsupportedFilterError("image filter %s" % f)
+        elif f == "LZWDecode":
+            raise UnsupportedFilterError("LZWDecode not implemented")
+        elif f == "Crypt":
+            raise UnsupportedFilterError("encrypted stream")
+        else:
+            raise UnsupportedFilterError("unknown filter %r" % f)
+    return data

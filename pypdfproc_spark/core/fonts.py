@@ -1,0 +1,395 @@
+"""Font / encoding / Unicode resolution.
+
+Re-implements the reference's fontcache.py (FontCache, Type0FontCache,
+CIDWidthArrayToMap, DifferencesArrayToMap) and the CMap compiler
+(parser/__init__.py:943-1046) against the plain-dict object model of cos.py.
+
+Quirk parity (SURVEY.md §2.6, §4.1):
+- dispatch order: Type0 -> Type1(AFM) -> string-encoding -> encoding-dict;
+  any other shape is an error -> page drop (fontcache.py:62-79)
+- WinAnsi footnote-3 rule: unmapped cid > 0o40 remaps to bullet (0o225),
+  and the *remapped* cid indexes the widths array (fontcache.py:144-174)
+- width bounds check uses ``>`` not ``>=`` (fontcache.py:158)
+- Identity-V is effectively unsupported (reference bug ``self.f``,
+  fontcache.py:406,435) -> error -> fallback event
+- bfrange array form raises (parser/__init__.py:997)
+- missing-glyph resolution: ToUnicode CMap, then hardcoded AdvP4C4E74 /
+  AdvPSSym tables; the CFF FontFile3 path is recorded as a fallback
+  (fontcache.py:231-368; CFF digging is out of scope for text parity --
+  no fixture reaches it)
+"""
+
+from __future__ import annotations
+
+from . import afm
+from .cos import HexStr, LitStr, PdfError, Ref, Scanner, StreamObj
+from .encodings import encoding_map, glyph_to_unicode
+
+
+class FontError(PdfError):
+    pass
+
+
+class Glyph:
+    __slots__ = ("cid", "width", "unicode")
+
+    def __init__(self, cid: int, width: float, uni: str):
+        self.cid = cid
+        self.width = width
+        self.unicode = uni
+
+
+# -----------------------------------------------------------------------------
+# CMap compiler (reference: CMapTokenizer.BuildMapper)
+
+
+def compile_cmap(data: bytes):
+    """Compile a ToUnicode/CID CMap program into mapper(cid)->str.
+
+    Token model mirrors the reference's cmap lexer (parser/cmap.py): hex
+    CODEs, INTs, begin/end bfchar/bfrange/cidrange keywords; everything else
+    is PostScript scaffolding and ignored.
+    """
+    sc = Scanner(data)
+    toks: list[tuple[str, object]] = []
+    while True:
+        kind, val = sc.next_token()
+        if kind == "eof":
+            break
+        if kind == "hex":
+            toks.append(("code", int(val.hexdigits, 16)))
+        elif kind == "int":
+            toks.append(("int", val))
+        elif kind == "kw":
+            toks.append(("kw", val))
+        elif kind == "arr<":
+            toks.append(("arr<", None))
+        elif kind == "arr>":
+            toks.append(("arr>", None))
+        # names, floats, dict delims, literals: scaffolding -- skip
+
+    mapdat: dict[int, str] = {}
+    rangedat: dict[tuple[int, int], int] = {}
+
+    def _section(begin: str, end: str):
+        items: list[tuple[str, object]] = []
+        on = False
+        for kind, val in toks:
+            if (kind, val) == ("kw", begin):
+                on = True
+                continue
+            if on and (kind, val) == ("kw", end):
+                return items
+            if on:
+                items.append((kind, val))
+        return items if on else []
+
+    # bfchar: code pairs (reference: :952-971)
+    codes = [v for k, v in _section("beginbfchar", "endbfchar") if k == "code"]
+    for i in range(0, len(codes) - 1, 2):
+        mapdat[codes[i]] = chr(codes[i + 1])
+
+    # bfrange: code triples; array form unsupported (reference: :973-999)
+    bfr = _section("beginbfrange", "endbfrange")
+    if any(k == "arr<" for k, _ in bfr):
+        raise FontError("bfrange array form not supported")
+    codes = [v for k, v in bfr if k == "code"]
+    for i in range(0, len(codes) - 2, 3):
+        s, e, off = codes[i], codes[i + 1], codes[i + 2]
+        for k in range(s, e + 1):
+            mapdat[k] = chr(off + (k - s))
+
+    # cidrange: CODE CODE INT (reference: :1001-1024)
+    items = _section("begincidrange", "endcidrange")
+    stack: list[int] = []
+    for kind, val in items:
+        if kind == "code":
+            stack.append(val)
+        elif kind == "int":
+            if len(stack) >= 2:
+                e = stack.pop()
+                s = stack.pop()
+                rangedat[(s, e)] = val
+
+    def mapper(c):
+        cc = c if isinstance(c, int) else ord(c)
+        if cc in mapdat:
+            return mapdat[cc]
+        for (s, e), unistart in rangedat.items():
+            if s <= cc <= e:
+                return chr(unistart + (cc - s))
+        raise KeyError(cc)
+
+    return mapper
+
+
+def identity_mapper(cid):
+    """Identity-H semantics: CID == code == unicode ordinal, exactly what
+    the reference gets from compiling the embedded Adobe Identity-H CMap
+    (cmap_identity_h.py: cidranges covering 0000-FFFF with offset == start)."""
+    cc = cid if isinstance(cid, int) else ord(cid)
+    if not 0 <= cc <= 0xFFFF:
+        raise KeyError(cid)
+    return chr(cc)
+
+
+# -----------------------------------------------------------------------------
+# width helpers (reference: fontcache.py:454-514)
+
+
+def cid_width_array_to_map(arr: list) -> dict[int, float]:
+    """Both /W forms: ``start [w...]`` and ``lo hi w``."""
+    out: dict[int, float] = {}
+    i = 0
+    n = len(arr)
+    while i < n:
+        a = arr[i]
+        if isinstance(a, (int, float)) and i + 1 < n and isinstance(arr[i + 1], list):
+            base = int(a)
+            for v in arr[i + 1]:
+                out[base] = v
+                base += 1
+            i += 2
+        elif (
+            isinstance(a, (int, float))
+            and i + 2 < n
+            and isinstance(arr[i + 1], (int, float))
+            and isinstance(arr[i + 2], (int, float))
+        ):
+            for k in range(int(a), int(arr[i + 1]) + 1):
+                out[k] = arr[i + 2]
+            i += 3
+        else:
+            raise FontError("unrecognized entry in CID width array: %r" % (a,))
+    return out
+
+
+def differences_array_to_map(arr: list) -> dict[int, str]:
+    """/Differences: int sets the next code; names auto-increment."""
+    out: dict[int, str] = {}
+    code = 0
+    for item in arr or []:
+        if isinstance(item, int):
+            code = item
+        elif isinstance(item, float):
+            code = int(item)
+        else:
+            out[code] = item
+            code += 1
+    return out
+
+
+# -----------------------------------------------------------------------------
+# the resolver
+
+
+class FontResolver:
+    """Per-document glyph resolution with parse-once caches, mirroring the
+    reference's FontCache (glyph map, diff map, Type0 cache, CMapper memo)."""
+
+    def __init__(self, doc):
+        self.doc = doc
+        self._glyphs: dict[tuple[int, int], Glyph] = {}
+        self._diff_maps: dict[int, dict[int, str]] = {}
+        self._cmappers: dict[int, object] = {}
+        self._type0: dict[int, dict] = {}
+        self.fallbacks = 0  # fallback-rate metric events
+
+    def get_glyph(self, font: dict, cid: int) -> Glyph:
+        key = (id(font), cid)
+        g = self._glyphs.get(key)
+        if g is not None:
+            return g
+        subtype = font.get("Subtype")
+        if subtype == "Type0":
+            g = self._glyph_type0(font, cid)
+        elif subtype == "Type1":
+            g = self._glyph_type1(font, cid)
+        else:
+            enc = self.doc.resolve(font.get("Encoding"))
+            if isinstance(enc, str):
+                g = self._glyph_enc_str(font, cid)
+            elif isinstance(enc, dict):
+                g = self._glyph_enc_dict(font, cid)
+            else:
+                raise FontError(
+                    "unrecognized font encoding type %r for cid %d" % (enc, cid)
+                )
+        self._glyphs[key] = g
+        return g
+
+    # --- Type1 standard-font path (fontcache.py:102-135) -------------------
+
+    def _glyph_type1(self, font: dict, cid: int) -> Glyph:
+        fm = afm.get_font_metrics(font.get("BaseFont") or "")
+        enc = font.get("Encoding")
+        encmap = encoding_map(enc if isinstance(enc, str) else "Std")
+        if cid not in encmap:
+            raise FontError(
+                "cid %d not in encoding map for %r" % (cid, enc)
+            )
+        gname = encmap[cid]
+        u = glyph_to_unicode(gname)
+        if u is None:
+            raise FontError("no unicode for glyph %r" % gname)
+        rec = fm.get(gname)
+        if rec is None:
+            raise FontError("glyph %r not in AFM for %r" % (gname, font.get("BaseFont")))
+        return Glyph(cid, rec[1], u)
+
+    # --- named-encoding path (fontcache.py:137-174) -------------------------
+
+    def _glyph_enc_str(self, font: dict, cid: int) -> Glyph:
+        enc = self.doc.resolve(font.get("Encoding"))
+        encmap = encoding_map(enc)
+        if cid not in encmap and enc == "WinAnsiEncoding" and cid > 0o40:
+            cid = 0o225  # bullet remap, Appendix D footnote 3
+        if cid not in encmap:
+            raise FontError("cid %d not in encoding map %s" % (cid, enc))
+        widths = self.doc.resolve(font.get("Widths"))
+        first = self.doc.resolve(font.get("FirstChar"))
+        if widths is None or first is None:
+            raise FontError("font with named encoding lacks /Widths")
+        if cid - first > len(widths):  # NB: '>' as in the reference
+            raise FontError(
+                "cid %d beyond widths array (first=%d len=%d)"
+                % (cid, first, len(widths))
+            )
+        gname = encmap[cid]
+        u = glyph_to_unicode(gname)
+        if u is None:
+            raise FontError("no unicode for glyph %r" % gname)
+        return Glyph(cid, widths[cid - first], u)
+
+    # --- encoding-dictionary path (fontcache.py:176-229) --------------------
+
+    def _glyph_enc_dict(self, font: dict, cid: int) -> Glyph:
+        enc_ref = font.get("Encoding")
+        enc = self.doc.resolve(enc_ref)
+        base = enc.get("BaseEncoding") or "StandardEncoding"
+        encmap = encoding_map(base)
+        dkey = id(enc)
+        diffs = self._diff_maps.get(dkey)
+        if diffs is None:
+            diffs = differences_array_to_map(self.doc.resolve(enc.get("Differences")))
+            self._diff_maps[dkey] = diffs
+        if cid in diffs:
+            gname = diffs[cid]
+        elif cid in encmap:
+            gname = encmap[cid]
+        else:
+            raise FontError(
+                "cid %d in neither differences nor base %s" % (cid, base)
+            )
+        u = glyph_to_unicode(gname)
+        if u is None:
+            u = self._missing_glyph(font, cid, gname)
+        widths = self.doc.resolve(font.get("Widths"))
+        first = self.doc.resolve(font.get("FirstChar"))
+        if widths is None or first is None:
+            raise FontError("font with encoding dict lacks /Widths")
+        return Glyph(cid, widths[cid - first], u)
+
+    def _missing_glyph(self, font: dict, cid: int, gname: str) -> str:
+        """fontcache.py:231-368 MissingGlyphName."""
+        tounicode = self.doc.resolve(font.get("ToUnicode"))
+        if isinstance(tounicode, StreamObj):
+            mapper = self._cmappers.get(id(tounicode))
+            if mapper is None:
+                mapper = compile_cmap(tounicode.data)
+                self._cmappers[id(tounicode)] = mapper
+            try:
+                return mapper(cid)
+            except KeyError:
+                pass
+        basefont = font.get("BaseFont") or ""
+        if basefont.endswith("AdvP4C4E74"):
+            t = {"C0": "−", "C6": "±", "C14": "°",
+                 "C15": "•", "C211": "©"}
+            if gname in t:
+                return t[gname]
+        if basefont.endswith("AdvPSSym") and gname == "C211":
+            return "©"
+        # CFF FontFile3 digging (fontcache.py:268-366) is intentionally not
+        # implemented: record as fallback and fail the glyph -> page drop,
+        # mirroring the reference's terminal ValueError for fonts outside
+        # its two hardcoded BaseFont tables.
+        self.fallbacks += 1
+        raise FontError("unable to find unicode for cid %d (%r)" % (cid, gname))
+
+    # --- Type0 path (fontcache.py:370-452) -----------------------------------
+
+    def _type0_state(self, font: dict) -> dict:
+        key = id(font)
+        st = self._type0.get(key)
+        if st is not None:
+            return st
+        widthmap: dict[int, float] = {}
+        for sub in self.doc.resolve(font.get("DescendantFonts")) or []:
+            sub = self.doc.resolve(sub)
+            w = self.doc.resolve(sub.get("W"))
+            if w:
+                widthmap.update(cid_width_array_to_map(w))
+        st = {"widthmap": widthmap, "mapper": None}
+        self._type0[key] = st
+        return st
+
+    def _glyph_type0(self, font: dict, cid: int) -> Glyph:
+        st = self._type0_state(font)
+        mapper = st["mapper"]
+        enc = self.doc.resolve(font.get("Encoding"))
+        if mapper is None:
+            tounicode = self.doc.resolve(font.get("ToUnicode"))
+            if isinstance(tounicode, StreamObj):
+                mapper = compile_cmap(tounicode.data)
+            elif enc == "Identity-H":
+                mapper = identity_mapper
+            elif enc == "Identity-V":
+                # reference bug: Identity-V path dereferences self.f ->
+                # AttributeError -> page drop (fontcache.py:406)
+                self.fallbacks += 1
+                raise FontError("Identity-V is unsupported (reference parity)")
+            else:
+                self.fallbacks += 1
+                raise FontError("Type0 without ToUnicode or Identity encoding")
+            st["mapper"] = mapper
+        try:
+            u = mapper(cid)
+        except KeyError:
+            if enc == "Identity-H":
+                u = identity_mapper(cid)
+            else:
+                raise FontError("cid %d unmapped in Type0 CMap" % cid) from None
+        widthmap = st["widthmap"]
+        if cid not in widthmap:
+            raise FontError("cid %d not in Type0 width map" % cid)
+        return Glyph(cid, widthmap[cid], u)
+
+
+# -----------------------------------------------------------------------------
+# document-level width synthesis (reference: __init__.py:160-230 GetFontWidths)
+
+
+def font_widths(doc, font: dict) -> list:
+    """Contiguous widths list used by the implied-space heuristic."""
+    subtype = font.get("Subtype")
+    if subtype in ("TrueType", "Type1"):
+        widths = doc.resolve(font.get("Widths"))
+        if widths is None:
+            fm = afm.get_font_metrics(font.get("BaseFont") or "")
+            first = doc.resolve(font.get("FirstChar"))
+            last = doc.resolve(font.get("LastChar"))
+            widths, first, last = afm.synthesized_widths(fm, first, last)
+            font["Widths"] = widths  # memoize like the reference (f.Widths =)
+            font.setdefault("FirstChar", first)
+            font.setdefault("LastChar", last)
+        return widths
+    if subtype == "Type0":
+        merged: dict[int, float] = {}
+        for sub in doc.resolve(font.get("DescendantFonts")) or []:
+            sub = doc.resolve(sub)
+            w = doc.resolve(sub.get("W"))
+            if w:
+                merged.update(cid_width_array_to_map(w))
+        return [merged[k] for k in sorted(merged)]
+    raise FontError("unrecognized font subtype %r" % subtype)

@@ -1,0 +1,342 @@
+"""Content-stream interpreter: Op list -> render events.
+
+Re-implements the reference's dispatch loop and state machine
+(_RenderPage_Tokens __init__.py:344-543 + parser/state.py:57-507) with the
+callback architecture turned into a returned **event list** (SURVEY.md §2.5):
+('change_font', name, size), ('text', chars), ('space_draw', w),
+('glyph_draw', (x, y), Glyph), ('text_start',), ('text_end',).
+
+Parity notes:
+- q/Q copy the FULL state incl. text state (deep copy in the reference,
+  state.py:96-105); here states are small immutable-field objects so Copy is
+  a cheap field copy.
+- glyph position m = [Tfs*Tz 0; 0 Tfs; 0 Tr] x Tm x cm — including the
+  reference's un-normalized Tz (NOT divided by 100 in this matrix,
+  __init__.py:521).
+- advances (state.py:384-416): kern tx = (-w/1000*Tfs)*(Tz/100); glyph
+  tx = (gw/1000*Tfs + Tc + Tw)*(Tz/100) — Tw applied to every glyph (the
+  reference's acknowledged FIXME), both premultiplied onto Tm.
+- unsupported operators (' " Tk MP DP BMC, and gs keys D/BG/BG2/UCR/UCR2/
+  TR/HT/SMask/TK) raise -> the caller drops the page (__init__.py:373-413,
+  542-543).
+"""
+
+from __future__ import annotations
+
+from .content import ContentError, Op, split_hex, split_literal, tokenize_content
+from .cos import HexStr, LitStr, PdfError, Ref, StreamObj
+from .fonts import FontResolver
+
+
+class InterpError(PdfError):
+    pass
+
+
+class Mat:
+    """3x3 matrix, PDF text-matrix convention [a b 0; c d 0; e f 1]
+    (reference: state.py:422-483 Mat3x3, same element-wise product)."""
+
+    __slots__ = ("A", "B", "C", "D", "E", "F", "G", "H", "I")
+
+    def __init__(self, a, b, c, d, e, f, g=0.0, h=0.0, i=1.0):
+        self.A = float(a)
+        self.B = float(b)
+        self.C = float(c)
+        self.D = float(d)
+        self.E = float(e)
+        self.F = float(f)
+        self.G = float(g)
+        self.H = float(h)
+        self.I = float(i)
+
+    def __mul__(a, b):
+        return Mat(
+            a.A * b.A + a.B * b.C + a.G * b.E,
+            a.A * b.B + a.B * b.D + a.G * b.F,
+            a.C * b.A + a.D * b.C + a.H * b.E,
+            a.C * b.B + a.D * b.D + a.H * b.F,
+            a.E * b.A + a.F * b.C + a.I * b.E,
+            a.E * b.B + a.F * b.D + a.I * b.F,
+            a.A * b.G + a.B * b.H + a.G * b.I,
+            a.C * b.G + a.D * b.H + a.H * b.I,
+            a.E * b.G + a.F * b.H + a.I * b.I,
+        )
+
+    @staticmethod
+    def identity():
+        return Mat(1, 0, 0, 1, 0, 0)
+
+
+class TextState:
+    __slots__ = ("Tf", "Tfs", "Tc", "TL", "Tr", "Ts", "Tw", "Tz", "Tm", "Tlm")
+
+    def __init__(self):
+        self.Tf = None
+        self.Tfs = None
+        self.Tc = 0.0
+        self.TL = 0.0
+        self.Tr = 0
+        self.Ts = 0.0
+        self.Tw = 0.0
+        self.Tz = 100.0
+        self.Tm = None
+        self.Tlm = None
+
+    def copy(self):
+        c = TextState.__new__(TextState)
+        for k in self.__slots__:
+            setattr(c, k, getattr(self, k))
+        return c
+
+    def text_begin(self):
+        self.Tm = Mat.identity()
+        self.Tlm = Mat.identity()
+
+    def text_end(self):
+        self.Tm = None
+        self.Tlm = None
+
+    def set_Tm(self, m: Mat):
+        self.Tm = m
+        self.Tlm = m
+
+    def do_Td(self, x, y):
+        m = Mat(1, 0, 0, 1, x, y) * self.Tlm
+        self.Tm = m
+        self.Tlm = m
+
+    def do_TD(self, x, y):
+        self.TL = -float(y)
+        self.do_Td(x, y)
+
+    def do_Tstar(self):
+        self.do_Td(0, self.TL)
+
+    def advance_kern(self, w):
+        tx = ((0.0 - w) / 1000.0 * self.Tfs) * (self.Tz / 100.0)
+        self.Tm = Mat(1, 0, 0, 1, tx, 0) * self.Tm
+
+    def advance_glyph(self, gw):
+        tx = ((gw - 0.0) / 1000.0 * self.Tfs + self.Tc + self.Tw) * (
+            self.Tz / 100.0
+        )
+        self.Tm = Mat(1, 0, 0, 1, tx, 0) * self.Tm
+
+
+class GState:
+    __slots__ = ("cm", "text")
+
+    def __init__(self):
+        self.cm = Mat.identity()
+        self.text = TextState()
+
+    def copy(self):
+        c = GState.__new__(GState)
+        c.cm = self.cm  # Mats are immutable-by-convention
+        c.text = self.text.copy()
+        return c
+
+
+class StateStack:
+    """q/Q stack (reference: state.py:57-105)."""
+
+    def __init__(self):
+        self.stack = [GState()]
+
+    @property
+    def S(self) -> GState:
+        return self.stack[-1]
+
+    @property
+    def T(self) -> TextState:
+        return self.S.text
+
+    def push(self):
+        self.stack.append(self.S.copy())
+
+    def pop(self):
+        if len(self.stack) <= 1:
+            raise InterpError("cannot pop initial state")
+        self.stack.pop()
+
+
+# operators tracked for graphics-path side effects only; text extraction
+# needs no path geometry, so they are consumed without state (the reference
+# tracks positions but nothing downstream of text reads them)
+_PATH_NOOPS = frozenset(
+    "m l c v y h re S s f F fstar B Bstar b bstar n W Wstar".split()
+)
+_SIMPLE_PARAMS = frozenset("i d j J M ri w".split())
+_COLOR = frozenset("cs CS sc SC scn SCN G g RG rg K k".split())
+_UNSUPPORTED = frozenset("TstarTj TwTcTstarTj Tk MP DP BMC".split())
+
+# gs dictionary keys the reference refuses (NotImplementedError,
+# __init__.py:373-413)
+_GS_UNSUPPORTED = ("D", "BG", "BG2", "UCR", "UCR2", "TR", "HT", "SMask", "TK")
+
+
+class PageInterpreter:
+    """Interprets one page (plus XObject recursion) into an event list."""
+
+    def __init__(self, doc, resolver: FontResolver, resources_stack: list,
+                 on_event=None):
+        self.doc = doc
+        self.fonts = resolver
+        # shared, document-lifetime resource stack (the reference's
+        # PDF.resources list; survives page exceptions un-popped)
+        self.resources = resources_stack
+        self.events: list = []
+        # events are delivered to the sink AS they happen so that a mid-page
+        # exception leaves the same partial fold state as the reference's
+        # callback architecture (__init__.py:273-298)
+        self._sink = on_event
+
+    def _emit(self, ev) -> None:
+        self.events.append(ev)
+        if self._sink is not None:
+            self._sink(ev)
+
+    # --- resource resolution (reference: __init__.py:128-158 GetFont) ------
+
+    def lookup_font(self, fontname: str) -> dict:
+        for recs in self.resources:
+            fonts = self.doc.resolve(recs.get("Font")) if recs else None
+            if fonts is None:
+                continue
+            if fontname not in fonts:
+                raise InterpError(
+                    "unrecognized font name %r for page" % fontname
+                )
+            return self.doc.resolve(fonts[fontname])
+        raise InterpError("unable to find font %r" % fontname)
+
+    def _ext_gstate(self, page: dict, name: str) -> dict:
+        recs = self.doc.resolve(page.get("Resources")) or {}
+        egs = self.doc.resolve(recs.get("ExtGState")) or {}
+        if name not in egs:
+            raise InterpError("unrecognized ExtGState %r" % name)
+        return self.doc.resolve(egs[name])
+
+    # --- main loop -----------------------------------------------------------
+
+    def run_page(self, page: dict) -> list:
+        return self.run_content(page, self.doc.page_content(page))
+
+    def run_content(self, page: dict, content: bytes) -> list:
+        ops = tokenize_content(content)
+        s = StateStack()
+        self._dispatch(page, ops, s)
+        return self.events
+
+    def _dispatch(self, page: dict, ops: list[Op], s: StateStack) -> None:
+        emit = self._emit
+        for op in ops:
+            name = op.name
+            if name == "q":
+                s.push()
+            elif name == "Q":
+                s.pop()
+            elif name in _PATH_NOOPS or name in _SIMPLE_PARAMS or name in _COLOR:
+                pass
+            elif name == "gs":
+                gs = self._ext_gstate(page, op.operands[0])
+                for k in _GS_UNSUPPORTED:
+                    if gs.get(k) is not None:
+                        raise InterpError(
+                            "ExtGState key /%s not supported (parity)" % k
+                        )
+                fnt = gs.get("Font")
+                if fnt is not None:
+                    s.T.Tf = fnt[0]
+                    s.T.Tfs = float(fnt[1])
+            elif name == "Do":
+                self._do_xobject(page, op.operands[0], s)
+            elif name == "cm":
+                s.S.cm = Mat(*[float(v) for v in op.operands])
+            elif name == "BT":
+                s.T.text_begin()
+            elif name == "ET":
+                s.T.text_end()
+            elif name == "Tc":
+                s.T.Tc = float(op.operands[0])
+            elif name == "Tw":
+                s.T.Tw = float(op.operands[0])
+            elif name == "Tz":
+                s.T.Tz = float(op.operands[0])
+            elif name == "TL":
+                s.T.TL = float(op.operands[0])
+            elif name == "Ts":
+                s.T.Ts = float(op.operands[0])
+            elif name == "Tr":
+                s.T.Tr = int(op.operands[0])
+            elif name == "Tf":
+                s.T.Tf = op.operands[0]
+                s.T.Tfs = float(op.operands[1])
+                emit(("change_font", s.T.Tf, s.T.Tfs))
+            elif name == "Tm":
+                s.T.set_Tm(Mat(*[float(v) for v in op.operands]))
+            elif name == "Td":
+                s.T.do_Td(float(op.operands[0]), float(op.operands[1]))
+            elif name == "TD":
+                s.T.do_TD(float(op.operands[0]), float(op.operands[1]))
+            elif name == "Tstar":
+                s.T.do_Tstar()
+            elif name in ("Tj", "TJ"):
+                self._show_text(page, op, s)
+            elif name in ("BDC", "EMC"):
+                pass
+            elif name in _UNSUPPORTED:
+                raise InterpError("cannot render %r token (parity)" % name)
+            else:
+                raise InterpError("cannot render %r token" % name)
+
+    def _do_xobject(self, page: dict, xname: str, s: StateStack) -> None:
+        """Do operator (reference: __init__.py:447-461): resolve via the
+        PAGE's resources (not the stack), push the XObject's resources,
+        recurse into its content."""
+        recs = self.doc.resolve(page.get("Resources")) or {}
+        xobjs = self.doc.resolve(recs.get("XObject")) or {}
+        if xname not in xobjs:
+            raise InterpError("unknown XObject %r" % xname)
+        x = self.doc.resolve(xobjs[xname])
+        if not isinstance(x, StreamObj):
+            raise InterpError("XObject %r is not a stream" % xname)
+        xres = self.doc.resolve(x.dict.get("Resources"))
+        self.resources.append(xres if isinstance(xres, dict) else {})
+        ops = tokenize_content(x.data)
+        self._dispatch(page, ops, s)
+        self.resources.pop()
+
+    def _show_text(self, page: dict, op: Op, s: StateStack) -> None:
+        emit = self._emit
+        emit(("text_start",))
+        for sub in op.operands:
+            if isinstance(sub, (int, float)):
+                s.T.advance_kern(float(sub))
+                emit(("space_draw", float(sub)))
+                continue
+            if isinstance(sub, HexStr):
+                f = self.lookup_font(s.T.Tf)
+                enc = self.doc.resolve(f.get("Encoding"))
+                if isinstance(enc, str) and enc.startswith("Identity"):
+                    chars = split_hex(sub.hexdigits, bytesize=2)
+                else:
+                    raise InterpError(
+                        "unknown encoding for hexstring: %r" % enc
+                    )
+            elif isinstance(sub, LitStr):
+                chars = split_literal(sub.raw)
+            else:
+                raise InterpError("unexpected Tj operand %r" % (sub,))
+            emit(("text", "".join(chars)))
+            font = self.lookup_font(s.T.Tf)
+            for ch in chars:
+                g = self.fonts.get_glyph(font, ord(ch))
+                m = (
+                    Mat(s.T.Tfs * s.T.Tz, 0, 0, s.T.Tfs, 0, s.T.Tr)
+                    * s.T.Tm
+                    * s.S.cm
+                )
+                emit(("glyph_draw", (m.E, m.F), g))
+                s.T.advance_glyph(g.width)
+        emit(("text_end",))
