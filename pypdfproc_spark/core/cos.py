@@ -206,9 +206,12 @@ class Scanner:
                 j += 1
             text = data[i:j].decode("latin-1")
             self.pos = j
-            if isfloat:
-                return ("float", float(text))
-            return ("int", int(text))
+            try:
+                if isfloat:
+                    return ("float", float(text))
+                return ("int", int(text))
+            except ValueError:
+                raise PdfError("malformed number %r at %d" % (text, i)) from None
 
         # bare keyword / operator
         j = i

@@ -1,0 +1,78 @@
+"""Filter tests incl. the PNG-Up worked example from the reference docstring
+(decoder/flate.py:44-66)."""
+
+import zlib
+
+import pytest
+
+from pypdfproc_spark.core import filters
+
+
+def test_flate_plain():
+    raw = b"BT (hello) Tj ET" * 10
+    assert filters.flate_decode(zlib.compress(raw), None) == raw
+    assert filters.flate_decode(zlib.compress(raw), {"Predictor": 0}) == raw
+    assert filters.flate_decode(zlib.compress(raw), {"Predictor": 1}) == raw
+
+
+def test_png_up_worked_example():
+    # the reference's own worked example: rows [2 3 4], [5 0 1] with tag
+    # column -> output [2 3 4], [7 3 5]
+    data = bytes([2, 2, 3, 4, 2, 5, 0, 1])
+    comp = zlib.compress(data)
+    out = filters.flate_decode(comp, {"Predictor": 12, "Columns": 3})
+    assert out == bytes([2, 3, 4, 7, 3, 5])
+
+
+def test_png_up_wraparound():
+    data = bytes([2, 200, 2, 200])  # 200 + 200 = 400 % 256 = 144
+    out = filters.flate_decode(zlib.compress(data), {"Predictor": 12, "Columns": 1})
+    assert out == bytes([200, 144])
+
+
+def test_png_mixed_row_filters():
+    # None row then Sub row: [10 20], sub row deltas [1 1] -> [11 12]? no:
+    # sub adds left neighbor: row = [1, 1] -> [1, 2] ... construct carefully
+    data = bytes([0, 10, 20, 1, 1, 1])
+    out = filters.flate_decode(zlib.compress(data), {"Predictor": 12, "Columns": 2})
+    assert out == bytes([10, 20, 1, 2])
+
+
+def test_tiff_predictor():
+    # cumulative along the row
+    data = bytes([10, 1, 1, 1])
+    out = filters.flate_decode(zlib.compress(data), {"Predictor": 2, "Columns": 4})
+    assert out == bytes([10, 11, 12, 13])
+
+
+def test_ascii_hex():
+    assert filters.decode_stream({"Filter": "ASCIIHexDecode"}, b"48656C6C6F>") == b"Hello"
+    # odd count pads trailing zero
+    assert filters.decode_stream({"Filter": "ASCIIHexDecode"}, b"487>") == b"Hp"
+
+
+def test_run_length():
+    # literal run of 3, then repeat 'z' 4 times, then EOD
+    data = bytes([2]) + b"abc" + bytes([253]) + b"z" + bytes([128])
+    assert filters.decode_stream({"Filter": "RunLengthDecode"}, data) == b"abczzzz"
+
+
+def test_filter_chain():
+    raw = b"payload"
+    enc = zlib.compress(raw).hex().upper().encode() + b">"
+    d = {"Filter": ["ASCIIHexDecode", "FlateDecode"]}
+    assert filters.decode_stream(d, enc) == raw
+
+
+def test_unsupported_filters_raise_typed():
+    with pytest.raises(filters.UnsupportedFilterError):
+        filters.decode_stream({"Filter": "DCTDecode"}, b"\xff\xd8")
+    with pytest.raises(filters.UnsupportedFilterError):
+        filters.decode_stream({"Filter": "LZWDecode"}, b"x")
+    with pytest.raises(filters.UnsupportedFilterError):
+        filters.decode_stream({"Filter": "NoSuchFilter"}, b"x")
+
+
+def test_corrupt_zlib_raises_decode_error():
+    with pytest.raises(filters.DecodeError):
+        filters.flate_decode(b"not zlib data", None)
