@@ -1,0 +1,296 @@
+"""The extraction pipeline: pages table -> results + metrics, resumably.
+
+DataFrame-level shape (SURVEY.md §2.9, §3 E1):
+
+    pages(url, warc_ts, html, text, lang)
+      -> latest-snapshot dedup        (window by url, newest warc_ts)
+      -> route                        (kind = pdf | html, by magic bytes)
+      -> salted url-hash repartition  (explicit skew handling: the salt
+                                       decorrelates giant documents from
+                                       url-hash hotspots; AQE only fixes
+                                       join/agg skew, not UDF compute skew)
+      -> extract                      (Arrow-batched pandas UDF running
+                                       core.extract.extract_document per
+                                       payload INSIDE the batch loop; zero
+                                       per-row Python dispatch at Spark level)
+      -> results                      (url, page_no, text, spans, parser,
+                                       error) exploded per page
+      -> metrics                      (per work-bucket lineage: docs, pages,
+                                       drops, decode failures, fallbacks)
+
+Resumability: work is keyed by a deterministic ``bucket`` = pmod(xxhash64(
+url), n_buckets).  Completed buckets are committed to a checkpoint table;
+a restart left-anti-joins pages against it, re-processing only missing
+buckets.  On Iceberg the same layout maps to ``bucket(N, url)`` partition
+transforms with per-partition appends; here the sink is parquet
+partitioned by bucket so the mechanism is identical and testable locally.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+_EXTRACT_FIELDS = [
+    T.StructField("pages", T.ArrayType(T.StringType())),
+    T.StructField("spans_json", T.StringType()),
+    T.StructField("parser", T.StringType()),
+    T.StructField("n_pages", T.IntegerType()),
+    T.StructField("pages_dropped", T.IntegerType()),
+    T.StructField("decode_failures", T.IntegerType()),
+    T.StructField("fallbacks", T.IntegerType()),
+    T.StructField("error", T.StringType()),
+]
+EXTRACT_STRUCT = T.StructType(_EXTRACT_FIELDS)
+
+RESULTS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("start", T.LongType()),
+                        T.StructField("end", T.LongType()),
+                        T.StructField("x", T.DoubleType()),
+                        T.StructField("y", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("parser", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _extract_batch(html: pd.Series) -> pd.DataFrame:
+    """Batch extractor: loops documents INSIDE one Python call (the Arrow
+    batch), so Spark-level dispatch is per-batch, not per-row."""
+    from pypdfproc_spark.core.extract import extract_document
+
+    rows = []
+    for payload in html:
+        r = extract_document(payload)
+        rows.append(
+            (
+                r.pages,
+                json.dumps(r.spans),
+                r.parser,
+                r.n_pages,
+                r.pages_dropped,
+                r.decode_failures,
+                r.fallbacks,
+                r.error,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=[f.name for f in _EXTRACT_FIELDS]
+    )
+
+
+_extract_udf = F.pandas_udf(_extract_batch, returnType=EXTRACT_STRUCT)
+
+
+# -----------------------------------------------------------------------------
+# pipeline stages (each is a pure DataFrame -> DataFrame function)
+
+
+def latest_snapshot(pages: DataFrame) -> DataFrame:
+    """Keep the newest capture per url (reference analog: newest-wins
+    incremental-update resolution, generalized across documents)."""
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.col("warc_ts").desc_nulls_last()
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def route(pages: DataFrame) -> DataFrame:
+    """Content-type router on magic bytes (no trust in upstream headers)."""
+    is_pdf = F.substring(F.col("html"), 1, 5) == F.lit(b"%PDF-")
+    return pages.withColumn("kind", F.when(is_pdf, "pdf").otherwise("html"))
+
+
+def with_bucket(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Deterministic work/checkpoint bucket by url hash (Iceberg
+    bucket(N, url) analog)."""
+    return pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def salted_repartition(
+    pages: DataFrame, partitions: int = 32, salts: int = 4,
+    big_doc_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Explicit skew handling for the UDF map stage.
+
+    - base key: url hash (keeps a url's work co-located and deterministic)
+    - salt: oversized payloads get a per-row salt so a burst of giant
+      documents sharing a hash bucket cannot serialize onto one task
+    """
+    salt = F.when(
+        F.length("html") > big_doc_bytes,
+        F.pmod(F.xxhash64("url", "warc_ts"), F.lit(partitions * salts)),
+    ).otherwise(F.pmod(F.xxhash64("url"), F.lit(partitions)))
+    return pages.withColumn("_salt", salt).repartition(
+        partitions, "_salt"
+    ).drop("_salt")
+
+
+def extract(pages: DataFrame) -> DataFrame:
+    """Run the per-document extractor; one row out per input document."""
+    return pages.withColumn("doc", _extract_udf(F.col("html")))
+
+
+def results(extracted: DataFrame) -> DataFrame:
+    """Explode per-document page arrays into the results table shape."""
+    ex = extracted.select(
+        "url",
+        "bucket",
+        F.col("doc.parser").alias("parser"),
+        F.col("doc.error").alias("error"),
+        F.col("doc.pages").alias("pages"),
+        F.col("doc.spans_json").alias("spans_json"),
+    )
+    spans_type = RESULTS_SCHEMA["spans"].dataType
+
+    exploded = ex.select(
+        "url",
+        "bucket",
+        "parser",
+        "error",
+        F.posexplode_outer("pages").alias("page_no", "text"),
+        F.from_json(
+            "spans_json",
+            T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ).alias("spans_all"),
+    )
+    span_struct = F.transform(
+        F.element_at("spans_all", F.col("page_no") + 1),
+        lambda s: F.struct(
+            s[1].cast("long").alias("start"),
+            s[2].cast("long").alias("end"),
+            s[3].alias("x"),
+            s[4].alias("y"),
+        ),
+    )
+    return exploded.select(
+        "url",
+        "bucket",
+        "page_no",
+        "text",
+        span_struct.alias("spans"),
+        "parser",
+        "error",
+    )
+
+
+def metrics(extracted: DataFrame) -> DataFrame:
+    """Per-bucket lineage + extraction metrics (north_star: pages parsed,
+    decode failures, fallback rate).  Partial aggregation (map-side combine)
+    is free from Catalyst for these hash aggregates."""
+    return extracted.groupBy("bucket").agg(
+        F.count("*").alias("docs"),
+        F.sum("doc.n_pages").alias("pages_parsed"),
+        F.sum("doc.pages_dropped").alias("pages_dropped"),
+        F.sum("doc.decode_failures").alias("decode_failures"),
+        F.sum("doc.fallbacks").alias("fallbacks"),
+        F.avg(
+            ((F.col("doc.fallbacks") + F.col("doc.decode_failures")) > 0)
+            .cast("int")
+        ).alias("fallback_rate"),
+        F.sum(F.length("html")).alias("bytes_in"),
+    )
+
+
+def run_pipeline(
+    pages: DataFrame,
+    n_buckets: int = 64,
+    partitions: int = 32,
+    dedup: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Full pipeline; returns (results_df, metrics_df)."""
+    df = latest_snapshot(pages) if dedup else pages
+    df = route(df)
+    df = with_bucket(df, n_buckets)
+    df = salted_repartition(df, partitions)
+    ex = extract(df)
+    # extraction runs once; both outputs read the exploded/aggregated views
+    return results(ex), metrics(ex)
+
+
+# -----------------------------------------------------------------------------
+# checkpoint / resume
+
+
+def committed_buckets(spark: SparkSession, checkpoint_path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(checkpoint_path).select("bucket").distinct()
+    except Exception:
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField("bucket", T.IntegerType())])
+        )
+
+
+def resume_filter(
+    pages_bucketed: DataFrame, spark: SparkSession, checkpoint_path: str
+) -> DataFrame:
+    """Left-anti join against committed buckets: a restarted job processes
+    only unfinished work (the Iceberg-checkpoint analog, SURVEY.md §2.9)."""
+    done = committed_buckets(spark, checkpoint_path)
+    return pages_bucketed.join(F.broadcast(done), "bucket", "left_anti")
+
+
+def run_resumable(
+    spark: SparkSession,
+    pages: DataFrame,
+    results_path: str,
+    checkpoint_path: str,
+    metrics_path: str | None = None,
+    n_buckets: int = 64,
+    partitions: int = 32,
+) -> None:
+    """Resumable run: skip committed buckets, append results partitioned by
+    bucket, then commit the processed buckets + metrics."""
+    df = route(latest_snapshot(pages))
+    df = with_bucket(df, n_buckets)
+    todo = resume_filter(df, spark, checkpoint_path)
+    if todo.isEmpty():
+        return
+    todo = salted_repartition(todo, partitions)
+    ex = extract(todo)
+    # materialize extraction once for both sinks
+    ex = ex.persist()
+    try:
+        results(ex).write.mode("append").partitionBy("bucket").parquet(results_path)
+        m = metrics(ex)
+        if metrics_path:
+            m.withColumn("committed_ts", F.current_timestamp()).write.mode(
+                "append"
+            ).parquet(metrics_path)
+        m.select("bucket").write.mode("append").parquet(checkpoint_path)
+    finally:
+        ex.unpersist()

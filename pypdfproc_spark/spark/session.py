@@ -1,0 +1,46 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Key knobs (SURVEY.md §4):
+- AQE on (runtime skew-join/coalesce re-planning)
+- Arrow-batched Python UDF transfer, with maxRecordsPerBatch tuned DOWN:
+  payloads are MB-scale binaries, so the 10k-row default would make a
+  single Arrow batch several GB on a real corpus
+- shuffle partitions sized for the local harness; on a real cluster this
+  is set per-job (rule of thumb: 2-3x total cores, larger for 100 TB
+  inputs so a partition stays < ~1 GB of shuffle data)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app: str = "pypdfproc-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 64,
+) -> SparkSession:
+    if master is None:
+        master = "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
+        )
+        # binary payloads: keep task input chunks bounded
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return b.getOrCreate()

