@@ -1,38 +1,329 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship extraction: synthesize the Common-Crawl-style pages
+               table from sf0.001 documents, run the full pipeline
+               (dedup -> route -> salt -> Arrow-batched extract -> explode),
+               return the results DataFrame.
+``queries``  — one entry per implemented operator (SURVEY.md §2 relational
+               shell + training-data operators).  Each callable takes
+               (spark, sf_dir) and returns a DataFrame with aliased columns.
+``oracle_sql`` — exact DuckDB twins over the pre-registered views; omitted
+               only for the extraction UDF paths (rows-only check), whose
+               value-correctness gate is the byte-identical golden test
+               suite (tests/test_golden_parity.py) against the reference.
 """
 
 from __future__ import annotations
 
+import datetime
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_N_ENTRY_DOCS = 200
+
+# token pipeline shared by Spark (textops.tokens_col) and the oracles
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+_STOP_EN = "['the','and','of','to','a','in','is','it','that','for']"
+_STOP_DE = "['der','die','das','und','ist','nicht','ein','zu','mit']"
+_STOP_FR = "['le','la','les','et','est','un','une','pour','dans']"
+_STOP_ES = "['el','los','las','y','es','un','una','para','con']"
+
+
+def _pages_df(spark: SparkSession, sf_dir: str, limit: int | None = None):
+    from fixtures.pagesgen import build_pages_rows, load_documents
+    from pypdfproc_spark.spark.pipeline import PAGES_SCHEMA
+
+    rows = build_pages_rows(load_documents(sf_dir, limit))
+    return spark.createDataFrame(rows, PAGES_SCHEMA)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full extraction pipeline on sf0.001-derived pages."""
+    from pypdfproc_spark.spark import pipeline as P
+
+    pages = _pages_df(spark, "/root/testdata/sf0.001", limit=_N_ENTRY_DOCS)
+    res, _metrics = P.run_pipeline(pages, n_buckets=16, partitions=8)
+    return res.select("url", "page_no", "text", "parser", "error")
+
+
+# -----------------------------------------------------------------------------
+
+
+def _q_extract_pages(spark, sf_dir):
+    from pypdfproc_spark.spark import pipeline as P
+
+    pages = _pages_df(spark, sf_dir, limit=150)
+    res, _ = P.run_pipeline(pages, n_buckets=16, partitions=8)
+    return res.select("url", "page_no", "text", "parser")
+
+
+def _q_extract_metrics(spark, sf_dir):
+    from pypdfproc_spark.spark import pipeline as P
+
+    pages = _pages_df(spark, sf_dir, limit=150)
+    _, met = P.run_pipeline(pages, n_buckets=16, partitions=8)
+    return met.select(
+        "bucket", "docs", "pages_parsed", "pages_dropped",
+        "decode_failures", "fallback_rate",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pypdfproc_spark.spark import multimodal, similarity, textops
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational shell of the pipeline (SURVEY.md §2.9)
+        "route_filter": textops.route_filter,
+        "latest_snapshot": textops.latest_snapshot_events,
+        "metrics_rollup": textops.metrics_rollup,
+        "resume_anti_join": textops.resume_anti_join,
+        "topk_skew": textops.topk_skew,
+        "events_sessionize": textops.events_sessionize,
+        # dedup family
+        "dedup_exact": textops.dedup_exact,
+        "dedup_exact_keep_first": textops.dedup_exact_keep_first,
+        "dedup_minhash_lsh": textops.dedup_minhash_lsh,
+        "dedup_simhash": textops.dedup_simhash,
+        "dedup_ngram_jaccard": textops.dedup_ngram_jaccard,
+        "doc_fingerprint": textops.doc_fingerprint,
+        # text analysis
+        "lang_id": textops.lang_id,
+        "quality_score": textops.quality_score,
+        "token_count": textops.token_count,
+        # similarity search
+        "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
+        "ann_lsh_bucketed": similarity.ann_lsh_bucketed,
+        "embedding_buckets": similarity.embedding_buckets,
+        # multimodal plumbing
+        "blob_metadata": multimodal.blob_metadata_query,
+        # extraction paths (rows-only; value gate = golden parity tests)
+        "extract_pages": _q_extract_pages,
+        "extract_metrics": _q_extract_metrics,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["route_filter"] = """
+        SELECT source, count(*) AS docs, sum(n_chars) AS chars
+        FROM documents WHERE n_chars >= 100 GROUP BY source
     """
-    return {}
+
+    sql["latest_snapshot"] = """
+        SELECT user_id, event_id, event_type, round(value, 4) AS value
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """
+
+    sql["metrics_rollup"] = """
+        SELECT lang, count(*) AS docs, sum(n_chars) AS total_chars,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY lang
+    """
+
+    sql["resume_anti_join"] = """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """
+
+    sql["topk_skew"] = """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+    """
+
+    sql["events_sessionize"] = """
+        WITH g AS (
+          SELECT user_id, ts, event_id, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT *, sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g)
+        SELECT user_id, session_id, count(*) AS events,
+               round(sum(value), 4) AS session_value
+        FROM s GROUP BY user_id, session_id
+    """
+
+    sql["dedup_exact"] = """
+        SELECT md5(text) AS text_hash, count(*) AS dup_count,
+               min(doc_id) AS keep_doc_id
+        FROM documents GROUP BY 1 HAVING count(*) > 1
+    """
+
+    sql["dedup_exact_keep_first"] = """
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    """
+
+    _sig = ", ".join(
+        "min(md5(tok || ':%d')) AS s%d" % (i, i) for i in range(8)
+    )
+    _bands = " UNION ALL ".join(
+        "SELECT doc_id, %d AS band_id, md5(s%d || s%d) AS band_hash FROM sigs"
+        % (j, 2 * j, 2 * j + 1)
+        for j in range(4)
+    )
+    sql["dedup_minhash_lsh"] = f"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+        ), sigs AS (
+          SELECT doc_id, {_sig} FROM toks GROUP BY doc_id
+        ), bands AS ({_bands})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+    _bitsums = ", ".join(
+        "sum(((strpos('0123456789abcdef', substr(h, %d, 1)) - 1) %% 2) * 2 - 1)"
+        " AS b%d" % (j + 1, j)
+        for j in range(16)
+    )
+    _compose = " + ".join(
+        "(CASE WHEN b%d > 0 THEN 1 ELSE 0 END) * %d" % (j, 2 ** j)
+        for j in range(16)
+    )
+    sql["dedup_simhash"] = f"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+        ), h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        sums AS (SELECT doc_id, {_bitsums} FROM h GROUP BY doc_id)
+        SELECT doc_id, {_compose} AS simhash16 FROM sums
+    """
+
+    _sh = (
+        "list_transform(generate_series(1, len(toks) - 2), "
+        "k -> array_to_string(list_slice(toks, k, k + 2), ' '))"
+    )
+    sql["dedup_ngram_jaccard"] = f"""
+        WITH d AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 150
+        ), sh AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest({_sh}) AS sh FROM d WHERE len(toks) >= 3)
+        ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2
+    """
+
+    sql["doc_fingerprint"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest({_sh}) AS sh FROM d WHERE len(toks) >= 3)
+        )
+        SELECT doc_id, min(md5(sh)) AS fingerprint FROM sh GROUP BY doc_id
+    """
+
+    sql["lang_id"] = f"""
+        WITH s AS (
+          SELECT doc_id,
+            len(list_filter({_TOKS}, x -> list_contains({_STOP_EN}, x))) AS s_en,
+            len(list_filter({_TOKS}, x -> list_contains({_STOP_DE}, x))) AS s_de,
+            len(list_filter({_TOKS}, x -> list_contains({_STOP_FR}, x))) AS s_fr,
+            len(list_filter({_TOKS}, x -> list_contains({_STOP_ES}, x))) AS s_es
+          FROM documents)
+        SELECT doc_id, CASE
+          WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          WHEN s_de > 0 AND s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+          WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+          WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+          ELSE 'und' END AS pred_lang
+        FROM s
+    """
+
+    sql["quality_score"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id, len(toks) AS n_tokens,
+          round(len(list_filter(toks, x -> list_contains({_STOP_EN}, x)))
+                / len(toks), 4) AS stopword_ratio,
+          round(0.4 * least(1.0, len(toks) / 100.0)
+              + 0.3 * (len(list_filter(toks, x -> list_contains({_STOP_EN}, x)))
+                       / len(toks))
+              + 0.3 * least(1.0,
+                  (list_sum(list_transform(toks, x -> length(x))) / len(toks))
+                  / 8.0), 4) AS quality
+        FROM d WHERE len(toks) > 0
+    """
+
+    sql["token_count"] = f"""
+        SELECT doc_id, len({_TOKS}) AS n_tokens,
+               length(text) AS n_chars_text
+        FROM documents
+    """
+
+    _cos = (
+        "round(list_dot_product(qv, cv) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)"
+    )
+    sql["ann_topk_bruteforce"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id >= 5),
+        s AS (SELECT query_id, neighbor_id, {_cos} AS cosine
+              FROM q CROSS JOIN c)
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM s) WHERE rank <= 5
+    """
+
+    _bucket = " + ".join(
+        "(CASE WHEN embedding[%d] > 0 THEN 1 ELSE 0 END) * %d" % (j + 1, 2 ** j)
+        for j in range(6)
+    )
+    sql["ann_lsh_bucketed"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          {_bucket} AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM e WHERE vec_id >= 5),
+        s AS (SELECT query_id, neighbor_id,
+                round(list_dot_product(qv, cv) /
+                  (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                  4) AS cosine
+              FROM q JOIN c USING (bucket))
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM s) WHERE rank <= 3
+    """
+
+    sql["embedding_buckets"] = f"""
+        SELECT {_bucket} AS bucket, count(*) AS vectors
+        FROM embeddings GROUP BY 1
+    """
+
+    sql["blob_metadata"] = """
+        SELECT doc_id,
+          octet_length(encode(coalesce(text, ''))) AS n_bytes,
+          sha256(coalesce(text, '')) AS sha256,
+          CASE WHEN starts_with(coalesce(text, ''), 'GIF8') THEN 'gif'
+               WHEN starts_with(coalesce(text, ''), 'RIFF') THEN 'riff'
+               WHEN starts_with(coalesce(text, ''), '%PDF-') THEN 'pdf'
+               ELSE 'bin' END AS magic
+        FROM documents
+    """
+
+    # extract_pages / extract_metrics: intentionally no oracle (non-SQL
+    # parsing UDF); the value gate is the byte-identical golden suite.
+    return sql

@@ -1,0 +1,91 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+typed metadata struct.  The Spark-side plumbing — schema, Arrow batch shape,
+mapInPandas signature, partitioning — is real and tested; the actual media
+decode is STUBBED (the sandbox ships no image/audio libraries): decode
+functions raise NotImplementedError behind a clearly-marked gate, and the
+deterministic metadata path (byte length, content hash, magic sniff) is the
+testable surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BLOB_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("magic", T.StringType()),
+    ]
+)
+
+_MAGIC = [
+    (b"\x89PNG", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF8", "gif"),
+    (b"RIFF", "riff"),
+    (b"%PDF-", "pdf"),
+]
+
+
+def sniff_magic(payload: bytes) -> str:
+    for prefix, kind in _MAGIC:
+        if payload.startswith(prefix):
+            return kind
+    return "bin"
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub by design
+    """STUB: real image decode requires PIL/cv2, absent in this container.
+    The Spark plumbing around it (binary column -> mapInPandas batches ->
+    struct rows) is the tested contract."""
+    raise NotImplementedError("image decode requires an image library")
+
+
+def resize_image(payload: bytes, w: int, h: int):  # pragma: no cover - stub
+    raise NotImplementedError("image resize requires an image library")
+
+
+def sample_frames(payload: bytes, n: int):  # pragma: no cover - stub
+    raise NotImplementedError("video frame sampling requires an av library")
+
+
+def _meta_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per Arrow batch, loop payloads in-Python."""
+    for pdf in it:
+        out = {
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "n_bytes": pdf["payload"].map(len).astype("int64"),
+            "sha256": pdf["payload"].map(
+                lambda b: hashlib.sha256(bytes(b)).hexdigest()
+            ),
+            "magic": pdf["payload"].map(lambda b: sniff_magic(bytes(b))),
+        }
+        yield pd.DataFrame(out)
+
+
+def blob_metadata(blobs: DataFrame) -> DataFrame:
+    """blobs(doc_id long, payload binary) -> typed metadata via mapInPandas."""
+    return blobs.mapInPandas(_meta_batches, schema=BLOB_META_SCHEMA)
+
+
+def documents_as_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stand-in binary corpus: utf-8 payload per document (deterministic)."""
+    docs = spark.read.parquet(sf_dir.rstrip("/") + "/documents.parquet")
+    return docs.select(
+        "doc_id", F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload")
+    )
+
+
+def blob_metadata_query(spark, sf_dir) -> DataFrame:
+    """The oracle-checkable multimodal query: binary metadata extraction."""
+    return blob_metadata(documents_as_blobs(spark, sf_dir))

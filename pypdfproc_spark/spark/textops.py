@@ -1,0 +1,359 @@
+"""Training-data text operators over the ``documents`` table.
+
+Each operator is expressed with built-in pyspark.sql.functions only (JVM-side,
+whole-stage-codegen'd; no Python in the hot path) and has an exact ANSI-SQL
+twin in ``__spark_entry__.oracle_sql`` checked by DuckDB.
+
+Portability contract with the oracles: hashes are md5 hex (identical across
+engines); tokenization is lower-case split on '[^a-z0-9]+' with empties
+dropped; all floats rounded to 4 decimals at the output boundary.
+
+Scale notes: every operator is a scan + hash-aggregate or equi-join --
+shuffle keys are doc hashes/tokens, so AQE handles hot keys; the pairwise
+operators (jaccard) are explicitly bounded to a candidate subset, with the
+MinHash-LSH path as the corpus-scale variant (candidates come from band
+buckets, never a full cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_PERM = 8  # minhash permutations
+N_BANDS = 4  # bands of 2 rows each
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(sf_dir.rstrip("/") + "/documents.parquet")
+
+
+def tokens_col(col="text"):
+    """lower + split + drop empties; the oracle uses the same regex."""
+    return F.filter(
+        F.split(F.lower(F.col(col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def with_tokens(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("toks", tokens_col())
+
+
+# -----------------------------------------------------------------------------
+# dedup family
+
+
+def dedup_exact(spark, sf_dir) -> DataFrame:
+    """Exact duplicate groups by content hash."""
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("dup_count") > 1)
+        .select("text_hash", "dup_count", "keep_doc_id")
+    )
+
+
+def dedup_exact_keep_first(spark, sf_dir) -> DataFrame:
+    """Survivors of exact dedup: the lowest doc_id per distinct content."""
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id -> s0..s{N_PERM-1} string-min signatures.
+
+    Permutation i is the md5 of token||':'||i; MIN over a string hash is a
+    valid minhash (uniform order on tokens), and — unlike engine-native
+    hash() — md5 is bit-identical across Spark and DuckDB."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("tok"), F.lit(":%d" % i)))).alias("s%d" % i)
+        for i in range(N_PERM)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
+    """MinHash + LSH banding: candidate near-duplicate pairs.
+
+    Scale path: signatures are one hash-agg over the exploded tokens; the
+    pair generation is an equi-join on (band_id, band_hash) buckets — never
+    a cross join.  At 100 TB the band join is the only shuffle that grows
+    with corpus size, and its keys are uniform hashes (no skew)."""
+    docs = load_documents(spark, sf_dir)
+    sigs = _minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.md5(
+                            F.concat(F.col("s%d" % (2 * j)), F.col("s%d" % (2 * j + 1)))
+                        ).alias("band_hash"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _hex_val(col):
+    """hex digit -> 0..15, portable (DuckDB: strpos(...)-1)."""
+    return F.instr(F.lit("0123456789abcdef"), col) - 1
+
+
+def dedup_simhash(spark, sf_dir) -> DataFrame:
+    """16-bit SimHash per document from md5 nibble parities of its distinct
+    tokens: bit_j = majority over tokens of parity(hexdigit_j(md5(tok)))."""
+    docs = load_documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    aggs = [
+        F.sum(
+            (_hex_val(F.substring("h", j + 1, 1)) % 2) * 2 - 1
+        ).alias("b%d" % j)
+        for j in range(16)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(16):
+        bit = (F.col("b%d" % j) > 0).cast("long") * (2 ** j)
+        sim = bit if sim is None else sim + bit
+    return sums.select("doc_id", sim.alias("simhash16")).orderBy("doc_id")
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id -> distinct word n-gram shingle strings (docs with >= n tokens)."""
+    t = with_tokens(docs)
+    shingle_expr = F.expr(
+        "array_distinct(transform(sequence(1, size(toks) - %d), "
+        "k -> concat_ws(' ', slice(toks, k, %d))))" % (n - 1, n)
+    )
+    return (
+        t.filter(F.size("toks") >= n)
+        .select("doc_id", F.explode(shingle_expr).alias("shingle"))
+    )
+
+
+def dedup_ngram_jaccard(spark, sf_dir, max_doc_id: int = 150,
+                        threshold: float = 0.2) -> DataFrame:
+    """Exact 3-gram Jaccard over a bounded candidate subset (the exact
+    verifier that sits downstream of the MinHash candidate generator)."""
+    docs = load_documents(spark, sf_dir).filter(F.col("doc_id") < max_doc_id)
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def doc_fingerprint(spark, sf_dir) -> DataFrame:
+    """Winnowing-style document fingerprint: min hash over 3-gram shingles."""
+    docs = load_documents(spark, sf_dir)
+    sh = _shingles(docs)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fingerprint")
+    )
+
+
+# -----------------------------------------------------------------------------
+# text analysis
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "para", "con"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def _stop_count(lang: str):
+    arr = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    return F.size(F.filter(F.col("toks"), lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(spark, sf_dir) -> DataFrame:
+    """n-gram/stopword language-ID heuristic; deterministic tie-break by
+    fixed language priority."""
+    docs = with_tokens(load_documents(spark, sf_dir))
+    scored = docs.select(
+        "doc_id",
+        *[_stop_count(lg).alias("score_%s" % lg) for lg in _LANG_ORDER],
+    )
+    pred = F.lit("und")
+    # reverse priority: earlier languages win ties
+    for lg in reversed(_LANG_ORDER):
+        cond = F.lit(True)
+        for other in _LANG_ORDER:
+            if other == lg:
+                continue
+            better = (
+                F.col("score_%s" % lg) >= F.col("score_%s" % other)
+                if _LANG_ORDER.index(other) > _LANG_ORDER.index(lg)
+                else F.col("score_%s" % lg) > F.col("score_%s" % other)
+            )
+            cond = cond & better
+        pred = F.when((F.col("score_%s" % lg) > 0) & cond, lg).otherwise(pred)
+    return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+def quality_score(spark, sf_dir) -> DataFrame:
+    """Length / stopword-ratio / word-shape quality heuristic in [0,1]."""
+    docs = with_tokens(load_documents(spark, sf_dir))
+    n_tok = F.size("toks")
+    stop_ratio = _stop_count("en") / n_tok
+    avg_len = F.aggregate(
+        "toks", F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / n_tok
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+    )
+    return docs.filter(n_tok > 0).select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def token_count(spark, sf_dir) -> DataFrame:
+    docs = with_tokens(load_documents(spark, sf_dir))
+    return docs.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.length("text").alias("n_chars_text"),
+    )
+
+
+# -----------------------------------------------------------------------------
+# relational shell of the extraction pipeline (oracle-checkable analogs)
+
+
+def route_filter(spark, sf_dir) -> DataFrame:
+    """Routing-predicate analog: docs per source over a length filter."""
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.filter(F.col("n_chars") >= 100)
+        .groupBy("source")
+        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
+    )
+
+
+def latest_snapshot_events(spark, sf_dir) -> DataFrame:
+    """warc_ts window-dedup analog over events: newest event per user."""
+    ev = spark.read.parquet(sf_dir.rstrip("/") + "/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id", "event_type",
+                F.round("value", 4).alias("value"))
+    )
+
+
+def metrics_rollup(spark, sf_dir) -> DataFrame:
+    """Extraction-metrics aggregation analog: per-lang lineage rollup."""
+    docs = load_documents(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def resume_anti_join(spark, sf_dir) -> DataFrame:
+    """Checkpoint-resume analog: customers with no orders (left anti)."""
+    cust = spark.read.parquet(sf_dir.rstrip("/") + "/customer.parquet")
+    orders = spark.read.parquet(sf_dir.rstrip("/") + "/orders.parquet")
+    return (
+        cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+        .select("c_custkey", "c_name")
+    )
+
+
+def topk_skew(spark, sf_dir, k: int = 10) -> DataFrame:
+    """Straggler-diagnostic analog: top-k largest documents."""
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "n_chars")
+    )
+
+
+def events_sessionize(spark, sf_dir, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a >30 min gap."""
+    ev = spark.read.parquet(sf_dir.rstrip("/") + "/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NB: parquet TIMESTAMP lands as TIMESTAMP_NTZ; unix seconds via a
+    # ltz cast (the DIFFERENCE is tz-invariant, matching date_diff in SQL)
+    secs = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), 1
+    ).otherwise(0)
+    df = ev.withColumn("new_sess", new_sess)
+    sess_id = F.sum("new_sess").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("session_id", sess_id)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )

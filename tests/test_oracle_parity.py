@@ -1,0 +1,82 @@
+"""Driver-mimicking oracle check: every queries() entry with an oracle must
+match DuckDB exactly (row count + order-insensitive values) at sf0.01."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+import __spark_entry__ as entrymod
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pypdfproc_spark.spark.session import build_session
+
+    s = build_session(app="oracle-tests", master="local[4]",
+                      shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            "CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet'" % (t, SF_DIR, t)
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, (int, bool, str)):
+        return v
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return sorted(cols), out
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_oracle_has_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, ddb):
+    sdf = QUERIES[name](spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    cur = ddb.execute(ORACLES[name])
+    d_cols = [c[0] for c in cur.description]
+    d_rows = cur.fetchall()
+
+    sc, sr = _norm_rows(s_cols, s_rows)
+    dc, dr = _norm_rows(d_cols, d_rows)
+    assert sc == dc, "column sets differ: %s vs %s" % (sc, dc)
+    assert len(sr) == len(dr), "row counts differ: %d vs %d" % (len(sr), len(dr))
+    mismatches = [
+        (a, b) for a, b in zip(sr, dr) if a != b
+    ]
+    assert not mismatches, "first mismatches: %s" % mismatches[:5]
