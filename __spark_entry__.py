@@ -177,7 +177,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
         ), sigs AS (
           SELECT doc_id, {_sig} FROM toks GROUP BY doc_id
-        ), bands AS ({_bands})
+        ), bands0 AS ({_bands}),
+        bands AS (
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS _n
+            FROM bands0) WHERE _n <= 50
+        )
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash

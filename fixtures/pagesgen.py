@@ -115,11 +115,19 @@ def page_rows(doc_id: int, text: str, lang: str):
     return rows
 
 
-def build_pages_rows(documents) -> list[tuple]:
-    """documents: iterable of (doc_id, text, lang) -> pages rows."""
+def build_pages_rows(documents, repl: int = 1) -> list[tuple]:
+    """documents: iterable of (doc_id, text, lang) -> pages rows.
+
+    ``repl`` > 1 replicates the corpus with distinct doc ids (deterministic)
+    to scale the benchmark input without external data."""
+    docs = list(documents)
     out = []
-    for doc_id, text, lang in documents:
-        out.extend(page_rows(int(doc_id), text or "", lang or "en"))
+    stride = (max(int(d[0]) for d in docs) + 1) if docs else 0
+    for r in range(repl):
+        for doc_id, text, lang in docs:
+            out.extend(
+                page_rows(int(doc_id) + r * stride, text or "", lang or "en")
+            )
     return out
 
 
@@ -138,12 +146,13 @@ def load_documents(sf_dir: str, limit: int | None = None):
     return rows[:limit] if limit else rows
 
 
-def build_pages_parquet(sf_dir: str, out_path: str, limit: int | None = None) -> int:
+def build_pages_parquet(sf_dir: str, out_path: str, limit: int | None = None,
+                        repl: int = 1) -> int:
     """Materialize the pages table as parquet; returns row count."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = build_pages_rows(load_documents(sf_dir, limit))
+    rows = build_pages_rows(load_documents(sf_dir, limit), repl=repl)
     cols = list(zip(*rows))
     table = pa.table(
         {

@@ -161,8 +161,16 @@ def salted_repartition(
 
 
 def extract(pages: DataFrame) -> DataFrame:
-    """Run the per-document extractor; one row out per input document."""
-    return pages.withColumn("doc", _extract_udf(F.col("html")))
+    """Run the per-document extractor; one row out per input document.
+
+    The MB-scale binary payload is dropped immediately after the UDF (only
+    its length survives, for metrics) so any downstream persist/shuffle
+    carries kilobytes per row, not megabytes."""
+    return (
+        pages.withColumn("doc", _extract_udf(F.col("html")))
+        .withColumn("bytes_in", F.length("html"))
+        .drop("html", "text")
+    )
 
 
 def results(extracted: DataFrame) -> DataFrame:
@@ -222,7 +230,7 @@ def metrics(extracted: DataFrame) -> DataFrame:
             ((F.col("doc.fallbacks") + F.col("doc.decode_failures")) > 0)
             .cast("int")
         ).alias("fallback_rate"),
-        F.sum(F.length("html")).alias("bytes_in"),
+        F.sum("bytes_in").alias("bytes_in"),
     )
 
 

@@ -80,13 +80,21 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     return toks.groupBy("doc_id").agg(*aggs)
 
 
+MAX_BAND_BUCKET = 50  # degenerate-bucket guard (see docstring)
+
+
 def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     """MinHash + LSH banding: candidate near-duplicate pairs.
 
     Scale path: signatures are one hash-agg over the exploded tokens; the
     pair generation is an equi-join on (band_id, band_hash) buckets — never
-    a cross join.  At 100 TB the band join is the only shuffle that grows
-    with corpus size, and its keys are uniform hashes (no skew)."""
+    a cross join.  Buckets larger than MAX_BAND_BUCKET are dropped before
+    pairing: a bucket holding B docs yields B^2/2 candidate pairs, so one
+    degenerate bucket (boilerplate, near-empty docs) can dominate the whole
+    job; production LSH dedup pipelines cap bucket fan-out for exactly this
+    reason.  The cap is a window count + filter — cheap, and it bounds the
+    join output to MAX_BAND_BUCKET^2/2 pairs per bucket regardless of
+    corpus size."""
     docs = load_documents(spark, sf_dir)
     sigs = _minhash_signatures(docs)
     bands = sigs.select(
@@ -105,6 +113,12 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_id", "b.band_hash")
+    bucket_size = Window.partitionBy("band_id", "band_hash")
+    bands = (
+        bands.withColumn("_n", F.count("*").over(bucket_size))
+        .filter(F.col("_n") <= MAX_BAND_BUCKET)
+        .drop("_n")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
