@@ -66,6 +66,31 @@ class Mat:
     def identity():
         return Mat(1, 0, 0, 1, 0, 0)
 
+    @classmethod
+    def _make(cls, a, b, c, d, e, f):
+        """Fast constructor for already-float affine matrices (G=H=0, I=1)."""
+        m = cls.__new__(cls)
+        m.A = a
+        m.B = b
+        m.C = c
+        m.D = d
+        m.E = e
+        m.F = f
+        m.G = 0.0
+        m.H = 0.0
+        m.I = 1.0
+        return m
+
+    def translated(self, tx, ty):
+        """T(tx,ty) x self — bit-identical to the full product when
+        G=H=0, I=1 (the only matrices the text machine ever builds):
+        E' = tx*A + ty*C + E, F' = tx*B + ty*D + F, rest unchanged."""
+        return Mat._make(
+            self.A, self.B, self.C, self.D,
+            tx * self.A + ty * self.C + self.E,
+            tx * self.B + ty * self.D + self.F,
+        )
+
 
 class TextState:
     __slots__ = ("Tf", "Tfs", "Tc", "TL", "Tr", "Ts", "Tw", "Tz", "Tm", "Tlm")
@@ -101,7 +126,7 @@ class TextState:
         self.Tlm = m
 
     def do_Td(self, x, y):
-        m = Mat(1, 0, 0, 1, x, y) * self.Tlm
+        m = self.Tlm.translated(float(x), float(y))
         self.Tm = m
         self.Tlm = m
 
@@ -114,13 +139,13 @@ class TextState:
 
     def advance_kern(self, w):
         tx = ((0.0 - w) / 1000.0 * self.Tfs) * (self.Tz / 100.0)
-        self.Tm = Mat(1, 0, 0, 1, tx, 0) * self.Tm
+        self.Tm = self.Tm.translated(tx, 0.0)
 
     def advance_glyph(self, gw):
         tx = ((gw - 0.0) / 1000.0 * self.Tfs + self.Tc + self.Tw) * (
             self.Tz / 100.0
         )
-        self.Tm = Mat(1, 0, 0, 1, tx, 0) * self.Tm
+        self.Tm = self.Tm.translated(tx, 0.0)
 
 
 class GState:
@@ -330,13 +355,21 @@ class PageInterpreter:
                 raise InterpError("unexpected Tj operand %r" % (sub,))
             emit(("text", "".join(chars)))
             font = self.lookup_font(s.T.Tf)
+            T = s.T
+            cm = s.S.cm
+            get_glyph = self.fonts.get_glyph
+            # glyph position = [Tfs*Tz 0; 0 Tfs; 0 Tr] x Tm x cm; only the
+            # translation row (E,F) is observed, and all matrices here have
+            # G=H=0, I=1, so the scalar form below is bit-identical to the
+            # reference's two full 3x3 products (__init__.py:521)
+            Tr = float(T.Tr)
             for ch in chars:
-                g = self.fonts.get_glyph(font, ord(ch))
-                m = (
-                    Mat(s.T.Tfs * s.T.Tz, 0, 0, s.T.Tfs, 0, s.T.Tr)
-                    * s.T.Tm
-                    * s.S.cm
-                )
-                emit(("glyph_draw", (m.E, m.F), g))
-                s.T.advance_glyph(g.width)
+                g = get_glyph(font, ord(ch))
+                Tm = T.Tm
+                m1e = 0.0 * Tm.A + Tr * Tm.C + Tm.E
+                m1f = 0.0 * Tm.B + Tr * Tm.D + Tm.F
+                x = m1e * cm.A + m1f * cm.C + cm.E
+                y = m1e * cm.B + m1f * cm.D + cm.F
+                emit(("glyph_draw", (x, y), g))
+                T.advance_glyph(g.width)
         emit(("text_end",))
