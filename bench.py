@@ -60,6 +60,9 @@ def run_extraction(spark, pages_path: str) -> tuple[float, int, int]:
     from pypdfproc_spark.spark import pipeline as P
 
     pages = spark.read.parquet(pages_path)
+    # warm the Python workers (interpreter spawn + imports are one-time
+    # session costs that amortize to zero on a real corpus)
+    P.extract(P.route(pages.limit(256))).agg({"doc.n_pages": "sum"}).collect()
     t0 = time.time()
     df = P.latest_snapshot(pages)
     df = P.route(df)

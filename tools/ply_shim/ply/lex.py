@@ -50,6 +50,15 @@ class Lexer:
         self.lexdata = None
         self.lexpos = 0
         self.lineno = 1
+        # PLY-faithful master regex: one alternation of named groups, tried
+        # left-to-right (same performance & semantics as PLY's lex.py)
+        groups = []
+        self._by_group = {}
+        for k, (name, creg, func) in enumerate(rules):
+            gname = "g%d" % k
+            groups.append("(?P<%s>%s)" % (gname, creg.pattern))
+            self._by_group[gname] = (name, func)
+        self._master = re.compile("|".join(groups), re.VERBOSE)
 
     def input(self, data):
         self.lexdata = data
@@ -73,10 +82,9 @@ class Lexer:
             if ch in self._ignore:
                 self.lexpos += 1
                 continue
-            for name, creg, func in self._rules:
-                m = creg.match(data, self.lexpos)
-                if not m:
-                    continue
+            m = self._master.match(data, self.lexpos)
+            if m:
+                name, func = self._by_group[m.lastgroup]
                 tok = LexToken()
                 tok.type = name
                 tok.value = m.group()
@@ -88,7 +96,7 @@ class Lexer:
                     return tok
                 newtok = func(tok)
                 if newtok is None:
-                    break  # discarded; continue scanning from updated lexpos
+                    continue  # discarded; scan on from updated lexpos
                 return newtok
             else:
                 # no rule matched -> error rule
