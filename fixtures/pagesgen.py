@@ -163,5 +163,7 @@ def build_pages_parquet(sf_dir: str, out_path: str, limit: int | None = None,
             "lang": pa.array(cols[4], pa.string()),
         }
     )
-    pq.write_table(table, out_path)
+    # small row groups so Spark's byte-range file splitting can parallelize
+    # the scan of a single file
+    pq.write_table(table, out_path, row_group_size=4096)
     return len(rows)

@@ -351,6 +351,37 @@ def f12_badpage() -> bytes:
     return simple_doc(b"", HELV, n_pages=3, contents_per_page=pages)
 
 
+def f13_cff_mathpi() -> bytes:
+    """Missing-glyph CFF path: Differences name custom glyphs that only the
+    embedded FontFile3 (CFF) can resolve, mapped through the reference's
+    MathematicalPi-One table (fontcache.py:268-366)."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from pypdfproc_spark.core.cff import build_cff
+
+    cff = build_cff(
+        "Fixture-MathematicalPi-One",
+        [("gmathA", ord("a")), ("gmathB", ord("3"))],  # -> alpha, multiply
+    )
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(6, b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+             b"/Differences [65 /gmathA /gmathB] >>")
+    f.add_stream(8, b"/Subtype /Type1C", cff)
+    f.add(7, b"<< /Type /FontDescriptor /FontName /Fixture-MathematicalPi-One "
+             b"/Flags 4 /FontFile3 8 0 R >>")
+    widths = b" ".join(b"500" for _ in range(10))
+    f.add(3, b"<< /Type /Font /Subtype /TrueType "
+             b"/BaseFont /Fixture-MathematicalPi-One "
+             b"/FirstChar 65 /LastChar 74 /Widths [%s] "
+             b"/Encoding 6 0 R /FontDescriptor 7 0 R >>" % widths)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (AB) Tj ET")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -364,6 +395,7 @@ FIXTURES = {
     "f10_incremental": f10_incremental,
     "f11_escapes": f11_escapes,
     "f12_badpage": f12_badpage,
+    "f13_cff_mathpi": f13_cff_mathpi,
 }
 
 

@@ -30,6 +30,34 @@ class FontError(PdfError):
     pass
 
 
+# MathematicalPi-One: encoding code -> unicode (fontcache.py:282-366; the
+# reference's hardcoded Greek/math table, public glyph-repertoire facts)
+_MATHPI = {
+    "A": "Α", "B": "Β", "C": "Ψ", "D": "Δ",
+    "E": "Ε", "F": "Φ", "G": "Γ", "H": "Η",
+    "I": "Ι", "J": "Ξ", "K": "Κ", "L": "Λ",
+    "M": "Μ", "N": "Ν", "O": "Ο", "P": "Π",
+    "Q": "ϴ", "R": "Ρ", "S": "Σ", "T": "Τ",
+    "U": "Θ", "V": "Ω", "W": "ϐ", "X": "Χ",
+    "Y": "Υ", "Z": "Ζ",
+    "a": "α", "b": "β", "c": "ψ", "d": "δ",
+    "e": "ε", "f": "φ", "g": "γ", "h": "η",
+    "i": "ι", "j": "ξ", "k": "κ", "l": "λ",
+    "m": "μ", "n": "ν", "o": "ο", "p": "π",
+    "q": "ϑ", "r": "ρ", "s": "σ", "t": "τ",
+    "u": "θ", "v": "ω", "w": "ϕ", "x": "χ",
+    "y": "υ", "z": "ζ",
+    "0": "″", "1": "(", "2": "−", "3": "×",
+    "4": "÷", "5": "=", "6": "±", "7": "∓",
+    "8": "°", "9": "′",
+    "!": "≪", "@": "≫", "#": "≤", "$": "≥",
+    "%": "≦", "^": "≧", "&": "≲", "*": "≳",
+    "{": "-", "}": "—", "[": "∅", "]": "–",
+    ":": "ℵ", ";": "∀", "?": "∙", "-": "‴",
+    "+": "≶", "=": "∇",
+}
+
+
 class Glyph:
     __slots__ = ("cid", "width", "unicode")
 
@@ -310,12 +338,37 @@ class FontResolver:
                 return t[gname]
         if basefont.endswith("AdvPSSym") and gname == "C211":
             return "©"
-        # CFF FontFile3 digging (fontcache.py:268-366) is intentionally not
-        # implemented: record as fallback and fail the glyph -> page drop,
-        # mirroring the reference's terminal ValueError for fonts outside
-        # its two hardcoded BaseFont tables.
+        # last resort: dig the embedded CFF (FontFile3) for the glyph name
+        # and map its encoding code through the MathematicalPi-One table
+        # (fontcache.py:268-366)
+        u = self._cff_lookup(font, gname, basefont)
+        if u is not None:
+            return u
         self.fallbacks += 1
         raise FontError("unable to find unicode for cid %d (%r)" % (cid, gname))
+
+    def _cff_lookup(self, font: dict, gname: str, basefont: str):
+        from .cff import parse_cff
+
+        fd = self.doc.resolve(font.get("FontDescriptor"))
+        if not isinstance(fd, dict):
+            return None
+        ff3 = self.doc.resolve(fd.get("FontFile3"))
+        if not isinstance(ff3, StreamObj):
+            return None
+        key = id(ff3)
+        parsed = self._cmappers.get(("cff", key))
+        if parsed is None:
+            parsed = parse_cff(ff3.data)
+            self._cmappers[("cff", key)] = parsed
+        gmatch = None
+        for g in parsed["glyphs"]:
+            if g["cname"] == gname:
+                gmatch = g
+                break
+        if gmatch and basefont.endswith("MathematicalPi-One"):
+            return _MATHPI.get(chr(gmatch["cid"]))
+        return None
 
     # --- Type0 path (fontcache.py:370-452) -----------------------------------
 

@@ -38,8 +38,10 @@ def build_session(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
         )
-        # binary payloads: keep task input chunks bounded
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # binary payloads: smaller input splits so a single large parquet
+        # file still fans out across all cores (splits are row-group
+        # aligned; the pages writer uses small row groups)
+        .config("spark.sql.files.maxPartitionBytes", "16777216")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
