@@ -1,0 +1,115 @@
+"""Structured Streaming ingestion tests: incremental file-source progress
+(exactly-once via streaming checkpoint) and watermarked windowed metrics."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from fixtures.pagesgen import build_pages_rows, load_documents
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pypdfproc_spark.spark.session import build_session
+
+    s = build_session(app="streaming-tests", master="local[4]",
+                      shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+def _write_batch(spark, rows, path, name):
+    from pypdfproc_spark.spark.pipeline import PAGES_SCHEMA
+
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, name)
+    )
+    # file source watches a flat dir: move part files up
+    sub = os.path.join(path, name)
+    for f in os.listdir(sub):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(sub, f), os.path.join(path, name + ".parquet"))
+    shutil.rmtree(sub)
+
+
+def test_stream_extract_incremental(spark):
+    from pypdfproc_spark.streaming.ingest import stream_extract
+
+    tmp = tempfile.mkdtemp(prefix="stream_")
+    inp = os.path.join(tmp, "in")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(inp)
+    try:
+        rows = build_pages_rows(load_documents("/root/testdata/sf0.001", limit=60))
+        _write_batch(spark, rows[:30], inp, "batch1")
+
+        q = stream_extract(spark, inp, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(out).count()
+        assert n1 >= 30
+
+        # drop a second file; a new availableNow run picks up ONLY the new
+        # file (checkpointed progress), appending its rows
+        _write_batch(spark, rows[30:], inp, "batch2")
+        q = stream_extract(spark, inp, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+        n2 = spark.read.parquet(out).count()
+        assert n2 > n1
+        assert n2 - n1 <= len(rows[30:]) + 5  # only batch2 processed
+
+        # a third run with nothing new appends nothing
+        q = stream_extract(spark, inp, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+        assert spark.read.parquet(out).count() == n2
+
+        # extracted text matches the batch pipeline on the same input
+        from pypdfproc_spark.spark import pipeline as P
+
+        batch_df = spark.createDataFrame(rows, P.PAGES_SCHEMA)
+        batch_res, _ = P.run_pipeline(batch_df, dedup=False, n_buckets=4,
+                                      partitions=4)
+        stream_rows = {
+            (r.url, r.page_no): r.text
+            for r in spark.read.parquet(out).collect()
+        }
+        for r in batch_res.collect():
+            assert stream_rows[(r.url, r.page_no)] == r.text
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_metrics_watermark(spark):
+    from pypdfproc_spark.streaming.ingest import stream_metrics
+
+    tmp = tempfile.mkdtemp(prefix="streamm_")
+    inp = os.path.join(tmp, "in")
+    out = os.path.join(tmp, "met")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(inp)
+    try:
+        import datetime
+
+        rows = build_pages_rows(load_documents("/root/testdata/sf0.001", limit=40))
+        # batch2 carries event times far past batch1's windows + watermark,
+        # so processing it advances the watermark and EMITS batch1's windows
+        # (append-mode semantics; see stream_metrics docstring)
+        late = max(r[1] for r in rows) + datetime.timedelta(days=30)
+        batch2 = [(u + "?v2", late, h, t, lg) for (u, ts, h, t, lg) in rows[:3]]
+        _write_batch(spark, rows, inp, "batch1")
+        _write_batch(spark, batch2, inp, "batch2")
+        q = stream_metrics(spark, inp, out, ckpt, available_now=True,
+                           max_files_per_trigger=1)
+        q.awaitTermination(180)
+        m = spark.read.parquet(out)
+        rows_m = m.collect()
+        assert rows_m, "no metric windows emitted"
+        assert {r.kind for r in rows_m} <= {"pdf", "html"}
+        # all of batch1's docs are in emitted (closed) windows
+        assert sum(r.docs for r in rows_m) == len(rows)
+        assert all(r.window_start is not None for r in rows_m)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
