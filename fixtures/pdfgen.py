@@ -382,6 +382,104 @@ def f13_cff_mathpi() -> bytes:
     return f.build(1)
 
 
+def f14_contents_array() -> bytes:
+    """Page /Contents as an ARRAY of streams, concatenated with ' ' by the
+    reference (__init__.py:312-325); the split lands mid-operator sequence."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents [5 0 R 6 0 R] >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720")
+    f.add_stream(6, b"", b"Td (Split streams) Tj ET")
+    return f.build(1)
+
+
+def f15_indirect_length() -> bytes:
+    """Stream /Length as an indirect reference (two-pass discovery in the
+    reference, parser/__init__.py:371-413)."""
+    raw = b"BT /F1 12 Tf 72 720 Td (Indirect length) Tj ET"
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_raw(5, b"5 0 obj\n<< /Length 6 0 R >>\nstream\n" + raw
+                 + b"\nendstream\nendobj\n")
+    f.add(6, b"%d" % len(raw))
+    return f.build(1)
+
+
+def f16_extgstate_font() -> bytes:
+    """gs operator sets the font via ExtGState /Font — note the reference
+    fires NO 'change font' callback for it (__init__.py:373-413), so the
+    width state for the implied-space heuristic stays at the last Tf."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman >>")
+    f.add(8, b"<< /Type /ExtGState /LW 2 /Font [/F2 10] >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R /F2 7 0 R >> "
+             b"/ExtGState << /G1 8 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (Helv) Tj "
+                         b"/G1 gs [(Times) -400 (kern)] TJ ET")
+    return f.build(1)
+
+
+def f17_tz_tc_tw() -> bytes:
+    """Tz/Tc/Tw spacing params: change advances (and the TJ kern threshold
+    arithmetic, state.py:384-416) but stay on one line."""
+    c = (b"BT /F1 12 Tf 50 Tz 1.5 Tc 2 Tw 72 720 Td "
+         b"[(Wide) -900 (gap) -10 (close)] TJ ET")
+    return simple_doc(c, HELV)
+
+
+def f18_q_Q_cm() -> bytes:
+    """q/Q state save-restore with a cm translate: glyph y moves while the
+    cm is active and snaps back after Q -> newline boundaries from state
+    stack behavior (state.py:83-105)."""
+    c = (b"BT /F1 12 Tf 72 720 Td (Base) Tj ET "
+         b"q 1 0 0 1 0 -50 cm BT /F1 12 Tf 72 720 Td (Shifted) Tj ET Q "
+         b"BT /F1 12 Tf 72 720 Td (Back) Tj ET")
+    return simple_doc(c, HELV)
+
+
+def f19_hexstring_simple_font() -> bytes:
+    """Hexstring Tj under a non-Identity (Type1) font: the reference raises
+    NotImplementedError (__init__.py:502-510) -> page dropped; a good page
+    follows."""
+    pages = [
+        b"BT /F1 12 Tf 72 720 Td <48656C6C6F> Tj ET",
+        b"BT /F1 12 Tf 72 720 Td (Survivor page) Tj ET",
+    ]
+    return simple_doc(b"", HELV, n_pages=2, contents_per_page=pages)
+
+
+def f20_nested_xobject() -> bytes:
+    """XObject invoking another XObject: the reference resolves Do names
+    against the PAGE's resources regardless of nesting (__init__.py:448)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(9, b"<< /Font << /F1 3 0 R >> >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /XObject << /FxA 6 0 R /FxB 7 0 R >> >> "
+             b"/Contents 5 0 R >>")
+    f.add_stream(5, b"", b"/FxA Do")
+    f.add_stream(6, b"/Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+                    b"/Resources 9 0 R",
+                 b"BT /F1 12 Tf 72 700 Td (Outer form) Tj ET /FxB Do")
+    f.add_stream(7, b"/Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+                    b"/Resources 9 0 R",
+                 b"BT /F1 12 Tf 72 680 Td (Inner form) Tj ET")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -396,6 +494,13 @@ FIXTURES = {
     "f11_escapes": f11_escapes,
     "f12_badpage": f12_badpage,
     "f13_cff_mathpi": f13_cff_mathpi,
+    "f14_contents_array": f14_contents_array,
+    "f15_indirect_length": f15_indirect_length,
+    "f16_extgstate_font": f16_extgstate_font,
+    "f17_tz_tc_tw": f17_tz_tc_tw,
+    "f18_q_Q_cm": f18_q_Q_cm,
+    "f19_hexstring_simple_font": f19_hexstring_simple_font,
+    "f20_nested_xobject": f20_nested_xobject,
 }
 
 
