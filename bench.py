@@ -56,7 +56,14 @@ def build(master: str):
 
 
 def run_extraction(spark, pages_path: str) -> tuple[float, int, int]:
-    """Returns (wall_sec, docs, result_rows) for the full pipeline."""
+    """Returns (wall_sec, docs, result_rows) for the full pipeline.
+
+    Doc-level metrics ride along as an Observation on the extraction node,
+    so the whole pipeline (dedup -> route -> extract -> explode) is ONE
+    job — no persist, no second action."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
     from pypdfproc_spark.spark import pipeline as P
 
     pages = spark.read.parquet(pages_path)
@@ -69,13 +76,16 @@ def run_extraction(spark, pages_path: str) -> tuple[float, int, int]:
     df = P.latest_snapshot(pages)
     df = P.route(df)
     df = P.with_bucket(df, 64)
-    df = P.salted_repartition(df, int(CPUS))
-    ex = P.extract(df).persist()
-    try:
-        n_rows = P.results(ex).count()
-        m = P.metrics(ex).agg({"docs": "sum"}).collect()[0][0]
-    finally:
-        ex.unpersist()
+    df = P.spread_giants(df, int(CPUS))
+    obs = Observation("extract_metrics")
+    ex = P.extract(df).observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("doc.n_pages").alias("pages_parsed"),
+        F.sum("doc.decode_failures").alias("decode_failures"),
+    )
+    n_rows = P.results(ex).count()
+    m = obs.get["docs"]
     wall = time.time() - t0
     return wall, int(m), n_rows
 
@@ -163,20 +173,23 @@ def scaling_mode(runs: int = 3) -> None:
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
     pages_path, _ = pages_parquet(SF_DIR, repl=repl)
     hw = hardware_capacity([lo, hi])
-    results = {}
-    for cores in (lo, hi):
-        walls = []
-        docs = 0
-        for _ in range(runs):
+    walls: dict[int, list] = {lo: [], hi: []}
+    docs = 0
+    # interleave the levels so co-tenant load drift on this shared host
+    # hits both levels equally instead of biasing one whole phase
+    for _ in range(runs):
+        for cores in (lo, hi):
             spark = build("local[%d]" % cores)
             try:
                 w, docs, _rows = run_extraction(spark, pages_path)
             finally:
                 spark.stop()
-            walls.append(w)
-        med = statistics.median(walls)
+            walls[cores].append(w)
+    results = {}
+    for cores in (lo, hi):
+        med = statistics.median(walls[cores])
         results[cores] = {
-            "walls_sec": [round(w, 2) for w in walls],
+            "walls_sec": [round(w, 2) for w in walls[cores]],
             "median_sec": round(med, 2),
             "docs": docs,
             "docs_per_sec": round(docs / med, 2),

@@ -147,23 +147,34 @@ def load_documents(sf_dir: str, limit: int | None = None):
 
 
 def build_pages_parquet(sf_dir: str, out_path: str, limit: int | None = None,
-                        repl: int = 1) -> int:
-    """Materialize the pages table as parquet; returns row count."""
+                        repl: int = 1, n_files: int = 32) -> int:
+    """Materialize the pages table as a parquet dataset directory sharded
+    into ``n_files`` files (file-level scan parallelism); returns rows."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rows = build_pages_rows(load_documents(sf_dir, limit), repl=repl)
-    cols = list(zip(*rows))
-    table = pa.table(
-        {
-            "url": pa.array(cols[0], pa.string()),
-            "warc_ts": pa.array(cols[1], pa.timestamp("us")),
-            "html": pa.array(cols[2], pa.binary()),
-            "text": pa.array(cols[3], pa.string()),
-            "lang": pa.array(cols[4], pa.string()),
-        }
-    )
-    # small row groups so Spark's byte-range file splitting can parallelize
-    # the scan of a single file
-    pq.write_table(table, out_path, row_group_size=4096)
+    os.makedirs(out_path, exist_ok=True)
+    chunk = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if not part:
+            break
+        cols = list(zip(*part))
+        table = pa.table(
+            {
+                "url": pa.array(cols[0], pa.string()),
+                "warc_ts": pa.array(cols[1], pa.timestamp("us")),
+                "html": pa.array(cols[2], pa.binary()),
+                "text": pa.array(cols[3], pa.string()),
+                "lang": pa.array(cols[4], pa.string()),
+            }
+        )
+        pq.write_table(
+            table,
+            os.path.join(out_path, "part-%04d.parquet" % i),
+            row_group_size=4096,
+        )
     return len(rows)

@@ -120,11 +120,45 @@ class _Extractor(HTMLParser):
         return "\n".join(kept)
 
 
+_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE
+)
+
+_CHARSET_ALIASES = {
+    "iso-8859-1": "latin-1", "iso8859-1": "latin-1", "latin1": "latin-1",
+    "windows-1252": "cp1252", "win-1252": "cp1252",
+    "utf8": "utf-8", "utf-8": "utf-8", "ascii": "ascii",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis",
+    "euc-jp": "euc_jp", "gb2312": "gb2312", "gbk": "gbk",
+    "big5": "big5", "koi8-r": "koi8_r",
+    "windows-1251": "cp1251", "iso-8859-2": "iso8859_2",
+    "iso-8859-15": "iso8859_15", "utf-16": "utf-16",
+}
+
+
+def decode_payload(payload: bytes) -> str:
+    """Deterministic charset handling: BOM, then declared charset (meta /
+    http-equiv sniffed from the head), then utf-8 with replacement."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", "replace")
+    if payload.startswith((b"\xff\xfe", b"\xfe\xff")):
+        return payload.decode("utf-16", "replace")
+    m = _CHARSET_RE.search(payload[:2048])
+    if m:
+        name = m.group(1).decode("ascii", "ignore").lower()
+        codec = _CHARSET_ALIASES.get(name, name)
+        try:
+            return payload.decode(codec, "replace")
+        except LookupError:
+            pass
+    return payload.decode("utf-8", "replace")
+
+
 def extract_main_text(payload: bytes | str) -> str:
     """Extract main content text from an HTML payload.  Never raises on
     malformed markup (html.parser is fully tolerant)."""
     if isinstance(payload, (bytes, bytearray, memoryview)):
-        html = bytes(payload).decode("utf-8", "replace")
+        html = decode_payload(bytes(payload))
     else:
         html = payload
     p = _Extractor()

@@ -160,6 +160,22 @@ def salted_repartition(
     ).drop("_salt")
 
 
+def spread_giants(
+    pages: DataFrame, partitions: int = 32, big_doc_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Skew handling WITHOUT re-shuffling the whole payload.
+
+    Used when the upstream stage (the dedup window) already hash-distributed
+    rows by url: the normal-size majority keeps that partitioning (zero
+    shuffle), and only oversized payloads — the actual skew risk — are
+    round-robin repartitioned.  At 100 TB this halves payload shuffle bytes
+    vs a blanket salted repartition."""
+    is_giant = F.length("html") > big_doc_bytes
+    normals = pages.filter(~is_giant)
+    giants = pages.filter(is_giant).repartition(partitions)
+    return normals.unionAll(giants)
+
+
 def extract(pages: DataFrame) -> DataFrame:
     """Run the per-document extractor; one row out per input document.
 
@@ -241,10 +257,14 @@ def run_pipeline(
     dedup: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline; returns (results_df, metrics_df)."""
-    df = latest_snapshot(pages) if dedup else pages
-    df = route(df)
-    df = with_bucket(df, n_buckets)
-    df = salted_repartition(df, partitions)
+    if dedup:
+        # the window dedup already hash-distributes by url; only giants
+        # need redistribution afterwards
+        df = with_bucket(route(latest_snapshot(pages)), n_buckets)
+        df = spread_giants(df, partitions)
+    else:
+        df = with_bucket(route(pages), n_buckets)
+        df = salted_repartition(df, partitions)
     ex = extract(df)
     # extraction runs once; both outputs read the exploded/aggregated views
     return results(ex), metrics(ex)
@@ -288,7 +308,7 @@ def run_resumable(
     todo = resume_filter(df, spark, checkpoint_path)
     if todo.isEmpty():
         return
-    todo = salted_repartition(todo, partitions)
+    todo = spread_giants(todo, partitions)
     ex = extract(todo)
     # materialize extraction once for both sinks
     ex = ex.persist()
