@@ -32,6 +32,7 @@ class TextAssembler:
         self.y = -1.0
         self.widths = None
         # span tracking (extension; does not affect text bytes)
+        self._txt_len = 0  # running sum(len(t) for t in txt)
         self._line_start = 0
         self._line_x = None
         self._line_y = None
@@ -57,25 +58,30 @@ class TextAssembler:
         if self.y != y:
             self._close_line()
             self.txt.append("\n")
+            self._txt_len += 1
             self.y = y
-            self._line_start = sum(len(t) for t in self.txt)
+            self._line_start = self._txt_len
             self._line_x, self._line_y = x, y
-        self.txt.append(glyph.unicode)
+        u = glyph.unicode
+        self.txt.append(u)
+        self._txt_len += len(u)
 
     def on_space_draw(self, w) -> None:
         if abs(w) > 0.5 * self.widths["avg"]:
             self.txt.append(" ")
+            self._txt_len += 1
 
     def on_page_end(self) -> None:
         self._close_line()
         self.fulltxt.append("".join(self.txt))
         self.spans.append(self._page_spans)
         self.txt.clear()
+        self._txt_len = 0
         self._page_spans = []
         self._line_start = 0
 
     def _close_line(self) -> None:
-        end = sum(len(t) for t in self.txt)
+        end = self._txt_len
         if self._line_y is not None and end > self._line_start:
             self._page_spans.append(
                 (len(self.fulltxt), self._line_start, end,

@@ -143,6 +143,55 @@ def _ascii85_decode(data: bytes) -> bytes:
         raise DecodeError("ASCII85: %s" % e) from None
 
 
+def _lzw_decode(data: bytes, parms: dict | None = None) -> bytes:
+    """LZWDecode per the PDF spec (variable 9-12 bit codes, clear=256,
+    EOD=257, EarlyChange default 1).  Not in the reference (its decoder
+    raises); implemented for real-corpus coverage — golden parity is
+    unaffected because no fixture uses it."""
+    parms = parms or {}
+    early = parms.get("EarlyChange", 1)
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bitbuf = 0
+    bitcnt = 0
+    width = 9
+    prev: bytes | None = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise DecodeError("LZW: first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise DecodeError("LZW: code %d out of range" % code)
+            out += entry
+            prev = entry
+            # spec/TIFF convention: the encoder bumps the width when its
+            # next_code + EarlyChange reaches 2^width.  The decoder's table
+            # is one entry BEHIND the encoder at this point (it learns an
+            # entry only on the following code), hence the +1.
+            if len(table) + early + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _rl_decode(data: bytes) -> bytes:
     out = bytearray()
     i = 0
@@ -188,8 +237,20 @@ def decode_stream(d: dict, raw: bytes) -> bytes:
         elif f in ("DCTDecode", "JPXDecode", "CCITTFaxDecode", "JBIG2Decode"):
             # image codecs: opaque payloads for the text-extraction engine
             raise UnsupportedFilterError("image filter %s" % f)
-        elif f == "LZWDecode":
-            raise UnsupportedFilterError("LZWDecode not implemented")
+        elif f == "LZWDecode" or f == "LZW":
+            data = _lzw_decode(data, p)
+            pred = p.get("Predictor", 1)
+            if pred not in (0, 1):
+                if pred == 2:
+                    data = _tiff_unpredict(
+                        data, p.get("Columns", 1), p.get("Colors", 1),
+                        p.get("BitsPerComponent", 8))
+                elif 10 <= pred <= 15:
+                    data = _png_unpredict(
+                        data, p.get("Columns", 1), p.get("Colors", 1),
+                        p.get("BitsPerComponent", 8))
+                else:
+                    raise UnsupportedFilterError("unknown predictor %d" % pred)
         elif f == "Crypt":
             raise UnsupportedFilterError("encrypted stream")
         else:

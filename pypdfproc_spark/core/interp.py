@@ -217,9 +217,14 @@ class PageInterpreter:
         self._sink = on_event
 
     def _emit(self, ev) -> None:
-        self.events.append(ev)
+        # with a sink attached (the assembler), events are consumed as they
+        # happen and NOT retained -- retaining every glyph tuple doubles the
+        # hot-path cost and grows an unused list; without a sink (inspect
+        # tooling) they accumulate for the caller
         if self._sink is not None:
             self._sink(ev)
+        else:
+            self.events.append(ev)
 
     # --- resource resolution (reference: __init__.py:128-158 GetFont) ------
 

@@ -1,0 +1,96 @@
+"""LZWDecode tests: encoder-decoder round trip with spec width switching
+(EarlyChange 0 and 1) plus a known vector."""
+
+import pytest
+
+from pypdfproc_spark.core.filters import DecodeError, _lzw_decode, decode_stream
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Test-only encoder following the PDF/TIFF width convention: the code
+    width bumps when (next_code + EarlyChange) reaches 2^width."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bits = []
+
+    def emit(code):
+        bits.append((code, width))
+
+    emit(256)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        if next_code + early >= (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    buf = cnt = 0
+    out = bytearray()
+    for code, wd in bits:
+        buf = (buf << wd) | code
+        cnt += wd
+        while cnt >= 8:
+            out.append((buf >> (cnt - 8)) & 0xFF)
+            cnt -= 8
+    if cnt:
+        out.append((buf << (8 - cnt)) & 0xFF)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("early", [0, 1])
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"A",
+        b"TOBEORNOTTOBEORTOBEORNOT" * 60,
+        bytes(range(256)) * 30,          # forces width growth past 10 bits
+        b"a" * 5000,                      # long single-char runs (KwKwK case)
+    ],
+)
+def test_roundtrip(payload, early):
+    enc = lzw_encode(payload, early=early)
+    assert _lzw_decode(enc, {"EarlyChange": early}) == payload
+
+
+def test_known_vector_kwkwk():
+    # hand-derived vector exercising the KwKwK case (code == next table
+    # slot): codes 256(clear) 45 258 258 65 259 257(EOD) decode to
+    #   45        -> '-'            (prev '-')
+    #   258 KwKwK -> '--'  +table   (prev '--')
+    #   258       -> '--'  +'---'   (prev '--')
+    #   65        -> 'A'   +'--A'   (prev 'A')
+    #   259       -> '---' +'A-'
+    # = '-----A---'
+    codes = [256, 45, 258, 258, 65, 259, 257]
+    buf = cnt = 0
+    out = bytearray()
+    for c in codes:
+        buf = (buf << 9) | c
+        cnt += 9
+        while cnt >= 8:
+            out.append((buf >> (cnt - 8)) & 0xFF)
+            cnt -= 8
+    if cnt:
+        out.append((buf << (8 - cnt)) & 0xFF)
+    assert _lzw_decode(bytes(out)) == b"-----A---"
+
+
+def test_through_decode_stream():
+    payload = b"stream body " * 40
+    d = {"Filter": "LZWDecode"}
+    assert decode_stream(d, lzw_encode(payload)) == payload
+
+
+def test_garbage_raises():
+    with pytest.raises(DecodeError):
+        _lzw_decode(b"\xff\xff\xff\xff\xff\xff")
