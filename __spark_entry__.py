@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_anti_join": textops.resume_anti_join,
         "topk_skew": textops.topk_skew,
         "events_sessionize": textops.events_sessionize,
+        "pricing_summary": textops.pricing_summary,
+        "order_revenue_by_region": textops.order_revenue_by_region,
         # dedup family
         "dedup_exact": textops.dedup_exact,
         "dedup_exact_keep_first": textops.dedup_exact_keep_first,
@@ -151,6 +153,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, session_id, count(*) AS events,
                round(sum(value), 4) AS session_value
         FROM s GROUP BY user_id, session_id
+    """
+
+    sql["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["order_revenue_by_region"] = """
+        SELECT r.r_name AS region, count(*) AS orders,
+               round(sum(o.o_totalprice), 4) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
     """
 
     sql["dedup_exact"] = """

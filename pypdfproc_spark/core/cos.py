@@ -515,6 +515,11 @@ class PdfDocument:
                 offset = prev if isinstance(prev, int) else 0
         if not self.trailer:
             raise PdfError("no trailer found")
+        if "Encrypt" in self.trailer:
+            # encrypted documents are out of scope (the reference has no
+            # decryption either); fail fast with a typed, metric-countable
+            # error instead of producing garbage downstream
+            raise PdfError("encrypted document (/Encrypt present)")
 
     # ------------------------------------------------------------------
     # object access

@@ -347,6 +347,46 @@ def topk_skew(spark, sf_dir, k: int = 10) -> DataFrame:
     )
 
 
+def pricing_summary(spark, sf_dir) -> DataFrame:
+    """TPC-H Q1-shaped aggregate over lineitem: the canonical partial+final
+    hash-agg shape (map-side combine; one shuffle of tiny grouped rows)."""
+    li = spark.read.parquet(sf_dir.rstrip("/") + "/lineitem.parquet")
+    cutoff = F.lit("1998-09-02").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def order_revenue_by_region(spark, sf_dir) -> DataFrame:
+    """Multi-way join chain (customer -> nation -> region + orders): small
+    dims broadcast, one shuffle on the fact side."""
+    sf = sf_dir.rstrip("/")
+    cust = spark.read.parquet(sf + "/customer.parquet")
+    orders = spark.read.parquet(sf + "/orders.parquet")
+    nation = spark.read.parquet(sf + "/nation.parquet")
+    region = spark.read.parquet(sf + "/region.parquet")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
 def events_sessionize(spark, sf_dir, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization: a new session starts after a >30 min gap."""
     ev = spark.read.parquet(sf_dir.rstrip("/") + "/events.parquet")
