@@ -91,6 +91,28 @@ _REGULAR = bytes(
     b for b in range(256) if b not in WHITESPACE and b not in DELIMS
 )
 
+import re as _re
+
+# master token regex (C-speed alternation; order matters: dict delims
+# before hex, numbers before bare keywords).  Semantically identical to the
+# hand loop it replaced; literal strings keep the manual balanced scan.
+_TOKEN_RE = _re.compile(
+    rb"""
+      (?P<num>[+-]?[0-9.]+)
+    | (?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)
+    | (?P<kw>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)
+    | (?P<dicto><<)
+    | (?P<hex><[^>]*>)
+    | (?P<dictc>>>)
+    | (?P<arro>\[)
+    | (?P<arrc>\])
+    | (?P<lito>\()
+    """,
+    _re.VERBOSE,
+)
+_WS_RE = _re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_NONHEX_WS = bytes(WHITESPACE)
+
 
 class Scanner:
     """Single-pass tokenizer over bytes.
@@ -106,22 +128,6 @@ class Scanner:
         self.data = data
         self.pos = pos
 
-    def _skip_ws(self) -> None:
-        data, n = self.data, len(self.data)
-        i = self.pos
-        while i < n:
-            b = data[i]
-            if b in WHITESPACE:
-                i += 1
-            elif b == 0x25:  # '%' comment to EOL (incl. %%EOF -- handled by caller context)
-                j = i
-                while j < n and data[j] not in b"\r\n":
-                    j += 1
-                i = j
-            else:
-                break
-        self.pos = i
-
     def peek_token(self):
         save = self.pos
         tok = self.next_token()
@@ -129,20 +135,45 @@ class Scanner:
         return tok
 
     def next_token(self):
-        self._skip_ws()
         data, n = self.data, len(self.data)
+        m = _WS_RE.match(data, self.pos)
+        if m:
+            self.pos = m.end()
         i = self.pos
         if i >= n:
             return ("eof", None)
+
+        m = _TOKEN_RE.match(data, i)
+        if m:
+            kind = m.lastgroup
+            self.pos = m.end()
+            if kind == "num":
+                text = m.group().decode("latin-1")
+                isfloat = "." in text
+                try:
+                    return ("float", float(text)) if isfloat else ("int", int(text))
+                except ValueError:
+                    raise PdfError("malformed number %r at %d" % (text, i)) from None
+            if kind == "name":
+                return ("name", m.group()[1:].decode("latin-1"))
+            if kind == "kw":
+                return ("kw", m.group().decode("latin-1"))
+            if kind == "dicto":
+                return ("dict<", None)
+            if kind == "dictc":
+                return ("dict>", None)
+            if kind == "hex":
+                body = m.group()[1:-1]
+                hx = bytes(c for c in body if c not in _NONHEX_WS).decode("latin-1")
+                return ("hex", HexStr(hx))
+            if kind == "arro":
+                return ("arr<", None)
+            if kind == "arrc":
+                return ("arr>", None)
+            # 'lito' falls through to the balanced scan below
+            self.pos = i  # rewind; the literal scan consumes from '('
+
         b = data[i]
-
-        if b == 0x2F:  # '/' name
-            j = i + 1
-            while j < n and data[j] in _REGULAR:
-                j += 1
-            self.pos = j
-            return ("name", data[i + 1 : j].decode("latin-1"))
-
         if b == 0x28:  # '(' literal string: balanced-paren scan
             # Replicates the reference's backslash-run parity rule
             # (parser/text.py:293-333): a paren is escaped iff preceded by an
