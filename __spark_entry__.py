@@ -94,10 +94,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": textops.lang_id,
         "quality_score": textops.quality_score,
         "token_count": textops.token_count,
+        "token_count_bpe": textops.token_count_bpe,
         # similarity search
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,
         "embedding_buckets": similarity.embedding_buckets,
+        "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         # multimodal plumbing
         "blob_metadata": multimodal.blob_metadata_query,
         # extraction paths (rows-only; value gate = golden parity tests)
@@ -341,6 +343,32 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_buckets"] = f"""
         SELECT {_bucket} AS bucket, count(*) AS vectors
         FROM embeddings GROUP BY 1
+    """
+
+    _bucket4 = " + ".join(
+        "(CASE WHEN v[%d] > 0 THEN 1 ELSE 0 END) * %d" % (j + 1, 2 ** j)
+        for j in range(4)
+    )
+    sql["dedup_embedding_cosine"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        eb AS (SELECT vec_id, v, {_bucket4} AS bucket FROM e)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+        FROM eb a JOIN eb b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+    """
+
+    sql["token_count_bpe"] = r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+               )) AS n_bpe_tokens
+        FROM documents
     """
 
     sql["blob_metadata"] = """

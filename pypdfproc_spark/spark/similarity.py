@@ -106,6 +106,33 @@ def ann_lsh_bucketed(spark, sf_dir, n_queries: int = 5, k: int = 3,
     )
 
 
+def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4,
+                           bits: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share a sign-LSH
+    bucket (cuts the pair space ~2^bits for uniform data), survivors pass
+    the cosine threshold.  The scale path of embedding dedup: bucket
+    equi-join, never a full cross join."""
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("bucket", _sign_bucket(F.col("v"), bits))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_buckets(spark, sf_dir, bits: int = 6) -> DataFrame:
     """Bucket occupancy histogram: the skew diagnostic for the LSH path."""
     emb = load_embeddings(spark, sf_dir)

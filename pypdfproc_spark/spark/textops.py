@@ -285,6 +285,25 @@ def token_count(spark, sf_dir) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer (the GPT-2 pre-tokenization shape: contraction
+# suffixes, letter runs, digit runs, punctuation runs, whitespace) --
+# unicode-class based so Spark (Java regex) and DuckDB (RE2) count alike
+BPE_SPLIT_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def token_count_bpe(spark, sf_dir) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer regex: the standard
+    proxy for 'how many LLM tokens is this document' at corpus scale,
+    computed entirely JVM-side (regexp_count, no Python)."""
+    docs = load_documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_SPLIT_RE)).alias("n_bpe_tokens"),
+    )
+
+
 # -----------------------------------------------------------------------------
 # relational shell of the extraction pipeline (oracle-checkable analogs)
 
