@@ -41,7 +41,9 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        # EXACT repr: the driver value-hashes results, so any ulp
+        # divergence between Spark and DuckDB must fail here first
+        return repr(v)
     if isinstance(v, (int, bool, str)):
         return v
     return str(v)
