@@ -39,15 +39,23 @@ def stream_extract(
     checkpoint_path: str,
     n_buckets: int = 64,
     available_now: bool = True,
+    dedup_within: str | None = None,
 ):
     """Start the extraction stream; returns the StreamingQuery.
 
-    NB: the batch pipeline's latest-snapshot dedup is a global window and
-    cannot run incrementally; streaming dedup of re-crawled urls is handled
-    downstream (results are keyed by (url, warc_ts); readers take the max
-    ts, or a periodic batch compaction applies pipeline.latest_snapshot).
+    ``dedup_within``: optional watermark duration (e.g. "1 hour") enabling
+    streaming url-dedup via dropDuplicatesWithinWatermark — re-crawls of a
+    url arriving within the watermark are dropped (FIRST-arrival-wins;
+    bounded state).  This differs from the batch pipeline's latest-snapshot
+    semantics, which is a global newest-wins window: streaming keeps state
+    only within the watermark horizon, so a periodic batch compaction with
+    pipeline.latest_snapshot remains the source of truth for re-crawls
+    farther apart than the watermark.
     """
     pages = read_pages_stream(spark, input_path)
+    if dedup_within:
+        pages = pages.withWatermark("warc_ts", dedup_within)
+        pages = pages.dropDuplicatesWithinWatermark(["url"])
     ex = extract(with_bucket(route(pages), n_buckets))
     out = results(ex)
     writer = (

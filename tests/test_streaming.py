@@ -82,6 +82,38 @@ def test_stream_extract_incremental(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_dedup_within_watermark(spark):
+    """Duplicate urls within the watermark horizon collapse to one output
+    row (first arrival wins; bounded state)."""
+    import datetime
+
+    from pypdfproc_spark.streaming.ingest import stream_extract
+
+    tmp = tempfile.mkdtemp(prefix="streamd_")
+    inp = os.path.join(tmp, "in")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(inp)
+    try:
+        base = build_pages_rows(load_documents("/root/testdata/sf0.001", limit=20))
+        dupes = [
+            (u, ts + datetime.timedelta(minutes=5), h, t, lg)
+            for (u, ts, h, t, lg) in base[:10]
+        ]
+        _write_batch(spark, base + dupes, inp, "batch1")
+        q = stream_extract(spark, inp, out, ckpt, available_now=True,
+                           dedup_within="1 hour")
+        q.awaitTermination(120)
+        res = spark.read.parquet(out)
+        urls = [r.url for r in res.select("url").distinct().collect()]
+        per_url = res.groupBy("url").count().collect()
+        n_unique = len({r[0] for r in base})
+        assert len(urls) == n_unique
+        assert all(r["count"] == 1 for r in per_url)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_metrics_watermark(spark):
     from pypdfproc_spark.streaming.ingest import stream_metrics
 
