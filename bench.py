@@ -49,10 +49,19 @@ def pages_parquet(sf_dir: str, repl: int = REPL) -> tuple[str, int]:
 
 
 def build(master: str):
-    from pypdfproc_spark.spark.session import build_session
+    from pypdfproc_spark.spark.session import arrow_rows_for_payload, build_session
 
-    return build_session(app="bench", master=master,
-                         shuffle_partitions=32)
+    # the synthetic corpus averages ~4 KB/payload -> ~2k-row batches under
+    # the 8 MB byte budget (measured +60% vs 64-row batches)
+    return build_session(
+        app="bench", master=master, shuffle_partitions=32,
+        arrow_batch_rows=int(
+            os.environ.get(
+                "SPARK_ARROW_BATCH_ROWS",
+                arrow_rows_for_payload(avg_payload_bytes=4096),
+            )
+        ),
+    )
 
 
 def run_extraction(spark, pages_path: str) -> tuple[float, int, int]:
