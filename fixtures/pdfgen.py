@@ -480,6 +480,35 @@ def f20_nested_xobject() -> bytes:
     return f.build(1)
 
 
+def f21_type0_tounicode() -> bytes:
+    """Type0 with an explicit /ToUnicode CMap overriding Identity mapping:
+    bfchar + bfrange drive the CID->unicode translation
+    (fontcache.py:370-452 Type0FontCache with a real CMap)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0001> <0394>\n<0002> <03A9>\nendbfchar\n"
+        b"1 beginbfrange\n<0010> <0012> <0041>\nendbfrange\n"
+        b"endcmap\n"
+    )
+    f.add_stream(7, b"", cmap)
+    f.add(6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureT2U "
+             b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+             b"/Supplement 0 >> /W [1 2 600 16 18 500] >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureT2U "
+             b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+             b"/ToUnicode 7 0 R >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    # cids 1,2 -> Delta, Omega (bfchar); cids 16,17,18 -> A,B,C (bfrange)
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td "
+                         b"<00010002> Tj <001000110012> Tj ET")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -501,6 +530,7 @@ FIXTURES = {
     "f18_q_Q_cm": f18_q_Q_cm,
     "f19_hexstring_simple_font": f19_hexstring_simple_font,
     "f20_nested_xobject": f20_nested_xobject,
+    "f21_type0_tounicode": f21_type0_tounicode,
 }
 
 
