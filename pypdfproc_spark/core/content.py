@@ -15,7 +15,7 @@ the reference's RenderPages does (__init__.py:287-296).
 
 from __future__ import annotations
 
-from .cos import HexStr, LitStr, PdfError, Scanner
+from .cos import PdfError, Scanner
 
 
 class ContentError(PdfError):

@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 
 from . import htmltext
 from .assemble import TextAssembler
-from .cos import PdfDocument, PdfError
+from .cos import PdfDocument
 from .filters import UnsupportedFilterError
 from .fonts import FontResolver
 from .interp import PageInterpreter

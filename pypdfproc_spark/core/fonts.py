@@ -22,7 +22,7 @@ Quirk parity (SURVEY.md §2.6, §4.1):
 from __future__ import annotations
 
 from . import afm
-from .cos import HexStr, LitStr, PdfError, Ref, Scanner, StreamObj
+from .cos import PdfError, Scanner, StreamObj
 from .encodings import encoding_map, glyph_to_unicode
 
 

@@ -23,8 +23,8 @@ Parity notes:
 
 from __future__ import annotations
 
-from .content import ContentError, Op, split_hex, split_literal, tokenize_content
-from .cos import HexStr, LitStr, PdfError, Ref, StreamObj
+from .content import Op, split_hex, split_literal, tokenize_content
+from .cos import HexStr, LitStr, PdfError, StreamObj
 from .fonts import FontResolver
 
 
