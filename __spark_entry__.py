@@ -15,10 +15,16 @@
 
 from __future__ import annotations
 
-import datetime
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# make package + fixture imports work regardless of the driver's CWD
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 _N_ENTRY_DOCS = 200
 

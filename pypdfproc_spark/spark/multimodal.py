@@ -59,23 +59,43 @@ def sample_frames(payload: bytes, n: int):  # pragma: no cover - stub
     raise NotImplementedError("video frame sampling requires an av library")
 
 
-def _meta_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: per Arrow batch, loop payloads in-Python."""
-    for pdf in it:
-        out = {
-            "doc_id": pdf["doc_id"].astype("int64"),
-            "n_bytes": pdf["payload"].map(len).astype("int64"),
-            "sha256": pdf["payload"].map(
-                lambda b: hashlib.sha256(bytes(b)).hexdigest()
-            ),
-            "magic": pdf["payload"].map(lambda b: sniff_magic(bytes(b))),
-        }
-        yield pd.DataFrame(out)
+import os as _os
+
+_PKG_ROOT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
+def _make_meta_batches(pkg_root: str):
+    """Factory closure (pickled by value; see pipeline._make_extract_batch)."""
+
+    def _meta_batches(it):
+        import hashlib as _hashlib
+        import sys as _sys
+
+        import pandas as _pd
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        from pypdfproc_spark.spark.multimodal import sniff_magic
+
+        for pdf in it:
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "sha256": pdf["payload"].map(
+                    lambda b: _hashlib.sha256(bytes(b)).hexdigest()
+                ),
+                "magic": pdf["payload"].map(lambda b: sniff_magic(bytes(b))),
+            }
+            yield _pd.DataFrame(out)
+
+    return _meta_batches
 
 
 def blob_metadata(blobs: DataFrame) -> DataFrame:
     """blobs(doc_id long, payload binary) -> typed metadata via mapInPandas."""
-    return blobs.mapInPandas(_meta_batches, schema=BLOB_META_SCHEMA)
+    return blobs.mapInPandas(_make_meta_batches(_PKG_ROOT), schema=BLOB_META_SCHEMA)
 
 
 def documents_as_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,32 +82,54 @@ RESULTS_SCHEMA = T.StructType(
 )
 
 
-def _extract_batch(html: pd.Series) -> pd.DataFrame:
-    """Batch extractor: loops documents INSIDE one Python call (the Arrow
-    batch), so Spark-level dispatch is per-batch, not per-row."""
-    from pypdfproc_spark.core.extract import extract_document
+import os as _os
 
-    rows = []
-    for payload in html:
-        r = extract_document(payload)
-        rows.append(
-            (
-                r.pages,
-                json.dumps(r.spans),
-                r.parser,
-                r.n_pages,
-                r.pages_dropped,
-                r.decode_failures,
-                r.fallbacks,
-                r.error,
+_PKG_ROOT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
+def _make_extract_batch(pkg_root: str, columns: list):
+    """Factory: the returned closure is cloudpickled BY VALUE (module-level
+    functions are pickled by reference and would require the package to be
+    importable on the worker before any code of ours runs).  The closure
+    bootstraps sys.path on local-mode workers whatever the driver's CWD;
+    real clusters ship the package via --py-files."""
+
+    def _extract_batch(html):
+        import json as _json
+        import sys as _sys
+
+        import pandas as _pd
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        from pypdfproc_spark.core.extract import extract_document
+
+        rows = []
+        for payload in html:
+            r = extract_document(payload)
+            rows.append(
+                (
+                    r.pages,
+                    _json.dumps(r.spans),
+                    r.parser,
+                    r.n_pages,
+                    r.pages_dropped,
+                    r.decode_failures,
+                    r.fallbacks,
+                    r.error,
+                )
             )
-        )
-    return pd.DataFrame(
-        rows, columns=[f.name for f in _EXTRACT_FIELDS]
-    )
+        return _pd.DataFrame(rows, columns=columns)
+
+    return _extract_batch
 
 
-_extract_udf = F.pandas_udf(_extract_batch, returnType=EXTRACT_STRUCT)
+_extract_udf = F.pandas_udf(
+    _make_extract_batch(_PKG_ROOT, [f.name for f in _EXTRACT_FIELDS]),
+    returnType=EXTRACT_STRUCT,
+)
 
 
 # -----------------------------------------------------------------------------
