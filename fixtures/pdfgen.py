@@ -509,6 +509,21 @@ def f21_type0_tounicode() -> bytes:
     return f.build(1)
 
 
+def f22_mac_encoding() -> bytes:
+    """MacRomanEncoding with high-bit codes: 0x8E eacute, 0xA5 bullet,
+    0x87 aacute, 0xD0 endash (validates the Mac table against the
+    reference's Appendix D data)."""
+    font = (
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /FixtureMac "
+        b"/FirstChar 32 /LastChar 224 /Widths [%s] "
+        b"/Encoding /MacRomanEncoding >>"
+        % b" ".join(b"500" for _ in range(193))
+    )
+    c = (b"BT /F1 12 Tf 72 720 Td "
+         b"(caf\\216 \\207 \\245 a\\320b) Tj ET")
+    return simple_doc(c, font)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -531,6 +546,7 @@ FIXTURES = {
     "f19_hexstring_simple_font": f19_hexstring_simple_font,
     "f20_nested_xobject": f20_nested_xobject,
     "f21_type0_tounicode": f21_type0_tounicode,
+    "f22_mac_encoding": f22_mac_encoding,
 }
 
 
