@@ -58,21 +58,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_extract_pages(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from pypdfproc_spark.spark import pipeline as P
 
     pages = _pages_df(spark, sf_dir, limit=150)
     res, _ = P.run_pipeline(pages, n_buckets=16, partitions=8)
-    return res.select("url", "page_no", "text", "parser")
+    # page_no cast to long: the frozen expectations parquet (and therefore
+    # the DuckDB oracle) carries BIGINT, and the driver hash is type-aware
+    return res.select(
+        "url", F.col("page_no").cast("long").alias("page_no"),
+        "text", "parser",
+    )
 
 
 def _q_extract_metrics(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from pypdfproc_spark.spark import pipeline as P
 
     pages = _pages_df(spark, sf_dir, limit=150)
     _, met = P.run_pipeline(pages, n_buckets=16, partitions=8)
     return met.select(
-        "bucket", "docs", "pages_parsed", "pages_dropped",
-        "decode_failures", "fallback_rate",
+        F.col("bucket").cast("long").alias("bucket"),
+        "docs", "pages_parsed", "pages_dropped", "decode_failures",
+        F.round("fallback_rate", 4).alias("fallback_rate"),
     )
 
 
@@ -94,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep_first": textops.dedup_exact_keep_first,
         "dedup_minhash_lsh": textops.dedup_minhash_lsh,
         "dedup_simhash": textops.dedup_simhash,
+        "dedup_simhash_pairs": textops.dedup_simhash_pairs,
         "dedup_ngram_jaccard": textops.dedup_ngram_jaccard,
         "doc_fingerprint": textops.doc_fingerprint,
         # text analysis
@@ -118,7 +129,8 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
     sql["route_filter"] = """
-        SELECT source, count(*) AS docs, sum(n_chars) AS chars
+        SELECT source, count(*) AS docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents WHERE n_chars >= 100 GROUP BY source
     """
 
@@ -131,7 +143,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["metrics_rollup"] = """
-        SELECT lang, count(*) AS docs, sum(n_chars) AS total_chars,
+        SELECT lang, count(*) AS docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                round(avg(n_chars), 4) AS avg_chars
         FROM documents GROUP BY lang
     """
@@ -154,9 +167,9 @@ def oracle_sql() -> dict[str, str]:
                  THEN 1 ELSE 0 END AS new_sess
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), s AS (
-          SELECT *, sum(new_sess) OVER (
+          SELECT *, CAST(sum(new_sess) OVER (
             PARTITION BY user_id ORDER BY ts, event_id
-            ROWS UNBOUNDED PRECEDING) AS session_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM g)
         SELECT user_id, session_id, count(*) AS events,
                round(sum(value), 4) AS session_value
@@ -231,13 +244,36 @@ def oracle_sql() -> dict[str, str]:
         "(CASE WHEN b%d > 0 THEN 1 ELSE 0 END) * %d" % (j, 2 ** j)
         for j in range(16)
     )
-    sql["dedup_simhash"] = f"""
-        WITH toks AS (
+    _sim_cte = f"""
+        toks AS (
           SELECT DISTINCT doc_id, tok FROM (
             SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
         ), h AS (SELECT doc_id, md5(tok) AS h FROM toks),
-        sums AS (SELECT doc_id, {_bitsums} FROM h GROUP BY doc_id)
-        SELECT doc_id, {_compose} AS simhash16 FROM sums
+        sums AS (SELECT doc_id, {_bitsums} FROM h GROUP BY doc_id),
+        sim AS (SELECT doc_id, {_compose} AS simhash16 FROM sums)
+    """
+    sql["dedup_simhash"] = f"WITH {_sim_cte} SELECT doc_id, simhash16 FROM sim"
+
+    _sim_bands = " UNION ALL ".join(
+        "SELECT doc_id, simhash16, %d AS band_id,"
+        " (simhash16 >> %d) & 15 AS band_val FROM sim" % (j, 4 * j)
+        for j in range(4)
+    )
+    sql["dedup_simhash_pairs"] = f"""
+        WITH {_sim_cte},
+        bands0 AS ({_sim_bands}),
+        bands AS (
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_val) AS _n
+            FROM bands0) WHERE _n <= 100
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT)
+                 AS hamming
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
     """
 
     _sh = (
@@ -351,22 +387,41 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings GROUP BY 1
     """
 
-    _bucket4 = " + ".join(
-        "(CASE WHEN v[%d] > 0 THEN 1 ELSE 0 END) * %d" % (j + 1, 2 ** j)
-        for j in range(4)
+    def _emb_band(band: int) -> str:
+        return " + ".join(
+            "(CASE WHEN v[%d] > 0 THEN 1 ELSE 0 END) * %d"
+            % (band * 8 + j + 1, 2 ** j)
+            for j in range(8)
+        )
+
+    _emb_bands = " UNION ALL ".join(
+        "SELECT vec_id, %d AS band_id, %s AS bucket FROM e" % (k, _emb_band(k))
+        for k in range(4)
+    )
+    _ecos = (
+        "round(list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * "
+        "sqrt(list_dot_product(eb.v, eb.v))), 4)"
     )
     sql["dedup_embedding_cosine"] = f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        eb AS (SELECT vec_id, v, {_bucket4} AS bucket FROM e)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.v, b.v) /
-                 (sqrt(list_dot_product(a.v, a.v)) *
-                  sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
-        FROM eb a JOIN eb b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.v, b.v) /
-                (sqrt(list_dot_product(a.v, a.v)) *
-                 sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+        bands0 AS ({_emb_bands}),
+        bands AS (
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_id, bucket) AS _n
+            FROM bands0) WHERE _n <= 100
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, {_ecos} AS cosine
+        FROM cand
+        JOIN e ea ON ea.vec_id = cand.vec_a
+        JOIN e eb ON eb.vec_id = cand.vec_b
+        WHERE {_ecos} >= 0.4
     """
 
     sql["token_count_bpe"] = r"""
@@ -388,6 +443,20 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    # extract_pages / extract_metrics: intentionally no oracle (non-SQL
-    # parsing UDF); the value gate is the byte-identical golden suite.
+    # extract_pages / extract_metrics: the extraction UDF itself is not
+    # SQL-expressible, so the oracle is a SELECT from expectations frozen by
+    # fixtures/freeze_expectations.py — a pure-Python (Spark-free) twin of
+    # the pipeline semantics (md5-tiebreak dedup, magic routing, per-payload
+    # extract_document, xxhash64 bucketing).  The text values are further
+    # gated by the byte-identical golden suite vs the reference.
+    _exp = os.path.join(_REPO, "fixtures", "expectations")
+    sql["extract_pages"] = """
+        SELECT url, page_no, text, parser
+        FROM read_parquet('%s/extract_pages_sf001.parquet')
+    """ % _exp
+    sql["extract_metrics"] = """
+        SELECT bucket, docs, pages_parsed, pages_dropped, decode_failures,
+               fallback_rate
+        FROM read_parquet('%s/extract_metrics_sf001.parquet')
+    """ % _exp
     return sql

@@ -99,6 +99,27 @@ def run_extraction(spark, pages_path: str) -> tuple[float, int, int]:
     return wall, int(m), n_rows
 
 
+def run_extraction_bucketed(spark, pages_path: str) -> tuple[float, int]:
+    """Same pipeline over a url-bucketed layout (pipeline.write_pages_
+    bucketed): the dedup window runs with zero Exchange.  The bucketed
+    write itself is the INGEST-side layout cost (on Iceberg it's just the
+    table's partition transform), so it is excluded from the measured
+    window; the measured job is dedup -> route -> extract -> explode."""
+    from pypdfproc_spark.spark import pipeline as P
+
+    pages = spark.read.parquet(pages_path)
+    spark.sql("DROP TABLE IF EXISTS bench_pages_bucketed")
+    P.write_pages_bucketed(pages, "bench_pages_bucketed", n_buckets=64)
+    t0 = time.time()
+    res, _ = P.run_pipeline_bucketed(
+        spark, "bench_pages_bucketed", n_buckets=64, partitions=int(CPUS)
+    )
+    n_rows = res.count()
+    wall = time.time() - t0
+    spark.sql("DROP TABLE IF EXISTS bench_pages_bucketed")
+    return wall, n_rows
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     """Time the headline operator set (action = count)."""
     import __spark_entry__ as E
@@ -106,6 +127,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     q = E.queries()
     names = [
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_simhash_pairs", "dedup_embedding_cosine",
         "dedup_ngram_jaccard", "doc_fingerprint", "lang_id",
         "quality_score", "token_count", "ann_topk_bruteforce",
         "ann_lsh_bucketed", "blob_metadata", "latest_snapshot",
@@ -124,19 +146,34 @@ def default_mode() -> None:
     spark = build("local[%s]" % CPUS)
     try:
         wall, docs, rows = run_extraction(spark, pages_path)
+        wall_b, rows_b = run_extraction_bucketed(spark, pages_path)
         qt = run_queries(spark, SF_DIR)
     finally:
         spark.stop()
-    total = round(wall + sum(qt.values()), 3)
+    total = round(wall + wall_b + sum(qt.values()), 3)
     line = {
         "metric": "e2e_bench_sec",
         "value": total,
         "unit": "sec",
-        "queries": dict({"extract_pipeline": round(wall, 3)}, **qt),
+        "queries": dict(
+            {
+                "extract_pipeline": round(wall, 3),
+                "extract_pipeline_bucketed": round(wall_b, 3),
+            },
+            **qt,
+        ),
         "sf": SF_DIR,
+        # replication of the synthetic corpus: round-over-round numbers are
+        # comparable ONLY at equal repl (fixed session costs amortize
+        # differently); the steady-state runs in BENCH/BASELINE.md are
+        # labeled with their own repl
+        "repl": REPL,
         "extraction_docs": docs,
         "extraction_result_rows": rows,
         "extraction_docs_per_sec": round(docs / wall, 2) if wall else None,
+        "extraction_docs_per_sec_bucketed": (
+            round(docs / wall_b, 2) if wall_b else None
+        ),
         "cpus": int(CPUS),
     }
     print(json.dumps(line))

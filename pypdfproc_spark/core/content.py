@@ -162,6 +162,12 @@ def _parse_inline_dict(sc: Scanner) -> dict:
                 k2, v2 = sc.next_token()
                 if k2 == "arr>":
                     break
+                if k2 == "eof":
+                    # truncated payload: without this guard the scanner
+                    # returns 'eof' forever and the loop never terminates
+                    raise ContentError(
+                        "unterminated array in inline dictionary"
+                    )
                 arr.append(v2)
             items.append(arr)
         else:

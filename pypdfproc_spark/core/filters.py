@@ -183,11 +183,11 @@ def _lzw_decode(data: bytes, parms: dict | None = None) -> bytes:
                 raise DecodeError("LZW: code %d out of range" % code)
             out += entry
             prev = entry
-            # spec/TIFF convention: the encoder bumps the width when its
-            # next_code + EarlyChange reaches 2^width.  The decoder's table
-            # is one entry BEHIND the encoder at this point (it learns an
-            # entry only on the following code), hence the +1.
-            if len(table) + early + 1 >= (1 << width) and width < 12:
+            # PDF/TIFF width schedule (matches pdfminer / pdf.js): the
+            # decoder bumps when its table size + EarlyChange reaches
+            # 2^width — i.e. at 511/1023/2047 entries with EarlyChange=1,
+            # 512/1024/2048 with 0.
+            if len(table) + early >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
 

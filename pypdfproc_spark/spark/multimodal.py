@@ -94,7 +94,29 @@ def _make_meta_batches(pkg_root: str):
 
 
 def blob_metadata(blobs: DataFrame) -> DataFrame:
-    """blobs(doc_id long, payload binary) -> typed metadata via mapInPandas."""
+    """blobs(doc_id long, payload binary) -> typed metadata, all JVM-side.
+
+    length / sha2 / prefix-match are built-in expressions (whole-stage
+    codegen, no Python worker); the mapInPandas harness below exists only
+    for the real media-decode path that needs Python libraries."""
+    magic = None
+    for prefix, kind in _MAGIC:
+        cond = F.substring("payload", 1, len(prefix)) == F.lit(prefix)
+        magic = F.when(cond, kind) if magic is None else magic.when(cond, kind)
+    return blobs.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha256"),
+        magic.otherwise("bin").alias("magic"),
+    )
+
+
+def blob_metadata_pandas(blobs: DataFrame) -> DataFrame:
+    """The mapInPandas harness (binary column -> Arrow batches -> struct
+    rows): the plumbing real image/audio decode plugs into (decode_image &
+    co. above are the gated stubs).  Kept tested so the batch shape and
+    schema contract stay alive; the shipped metadata query uses the
+    built-in path."""
     return blobs.mapInPandas(_make_meta_batches(_PKG_ROOT), schema=BLOB_META_SCHEMA)
 
 

@@ -139,8 +139,12 @@ _extract_udf = F.pandas_udf(
 def latest_snapshot(pages: DataFrame) -> DataFrame:
     """Keep the newest capture per url (reference analog: newest-wins
     incremental-update resolution, generalized across documents)."""
+    # tie-break on the payload hash: two captures with equal warc_ts must
+    # pick a deterministic winner or resume/idempotence and any byte-level
+    # output hash break (mirrors the event_id tiebreak in
+    # textops.latest_snapshot_events)
     w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(), F.col("warc_ts").desc_nulls_last()
+        F.col("warc_ts").desc(), F.md5("html").desc()
     )
     return (
         pages.withColumn("_rn", F.row_number().over(w))
@@ -293,6 +297,47 @@ def run_pipeline(
 
 
 # -----------------------------------------------------------------------------
+# bucketed layout: the shuffle-free dedup path
+
+
+def write_pages_bucketed(pages: DataFrame, table: str,
+                         n_buckets: int = 64) -> None:
+    """Persist the pages table BUCKETED BY url (parquet ``bucketBy`` via the
+    session catalog locally; Iceberg ``bucket(N, url)`` in production).
+
+    Why: the latest-snapshot window partitions by url, and on an unbucketed
+    input that window shuffles the FULL MB-scale payloads — at 100 TB the
+    dominant byte-mover of the whole pipeline (docs/PLANS.md).  A scan of a
+    url-bucketed table already satisfies the window's clustering
+    requirement, so Catalyst plans Scan -> Sort -> Window with NO Exchange:
+    payload bytes never cross the network (verified by
+    tests/test_pipeline_spark.py::test_bucketed_dedup_has_no_exchange and
+    the captured plan in docs/PLANS.md)."""
+    (
+        pages.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "url")
+        .sortBy("url")
+        .saveAsTable(table)
+    )
+
+
+def run_pipeline_bucketed(
+    spark: SparkSession,
+    table: str,
+    n_buckets: int = 64,
+    partitions: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """run_pipeline over a url-bucketed pages table: identical semantics,
+    but the dedup window (and everything downstream of it, giants aside)
+    runs without shuffling payloads."""
+    df = with_bucket(route(latest_snapshot(spark.table(table))), n_buckets)
+    df = spread_giants(df, partitions)
+    ex = extract(df)
+    return results(ex), metrics(ex)
+
+
+# -----------------------------------------------------------------------------
 # checkpoint / resume
 
 
@@ -323,8 +368,15 @@ def run_resumable(
     n_buckets: int = 64,
     partitions: int = 32,
 ) -> None:
-    """Resumable run: skip committed buckets, append results partitioned by
-    bucket, then commit the processed buckets + metrics."""
+    """Resumable run: skip committed buckets, write results/metrics with
+    DYNAMIC partition overwrite keyed by bucket, then commit the buckets.
+
+    Idempotence under mid-run failure: a crash AFTER the results write but
+    BEFORE the checkpoint commit means the restart re-processes those
+    buckets — with dynamic overwrite the rewritten bucket partitions
+    REPLACE the orphaned ones instead of appending duplicate rows (the
+    exact failure window resume exists to cover).  On Iceberg the same
+    contract is the atomic REPLACE of bucket(N, url) partitions."""
     df = route(latest_snapshot(pages))
     df = with_bucket(df, n_buckets)
     todo = resume_filter(df, spark, checkpoint_path)
@@ -334,13 +386,19 @@ def run_resumable(
     ex = extract(todo)
     # materialize extraction once for both sinks
     ex = ex.persist()
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(mode_key, "static")
     try:
-        results(ex).write.mode("append").partitionBy("bucket").parquet(results_path)
+        spark.conf.set(mode_key, "dynamic")
+        results(ex).write.mode("overwrite").partitionBy("bucket").parquet(
+            results_path
+        )
         m = metrics(ex)
         if metrics_path:
             m.withColumn("committed_ts", F.current_timestamp()).write.mode(
-                "append"
-            ).parquet(metrics_path)
+                "overwrite"
+            ).partitionBy("bucket").parquet(metrics_path)
         m.select("bucket").write.mode("append").parquet(checkpoint_path)
     finally:
+        spark.conf.set(mode_key, prev_mode)
         ex.unpersist()

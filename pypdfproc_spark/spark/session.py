@@ -56,6 +56,12 @@ def build_session(
         # aligned; the pages writer uses small row groups)
         .config("spark.sql.files.maxPartitionBytes", "16777216")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # bucketed saveAsTable targets (pipeline.write_pages_bucketed) land
+        # outside the repo; metadata lives in the session catalog
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark_graft_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return b.getOrCreate()

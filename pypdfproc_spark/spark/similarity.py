@@ -44,7 +44,11 @@ def ann_topk_bruteforce(spark, sf_dir, n_queries: int = 5, k: int = 5) -> DataFr
     """Exact cosine top-k: queries are vec_id < n_queries, candidates the
     rest.  Ranking key is (rounded cosine desc, vec_id asc) so that the
     DuckDB oracle ranks identically under float rounding."""
-    emb = load_embeddings(spark, sf_dir)
+    # cast to double BEFORE the cosine: the oracle computes on DOUBLE[], and
+    # float32 products can round differently at a 4-decimal boundary
+    emb = load_embeddings(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -78,8 +82,11 @@ def ann_lsh_bucketed(spark, sf_dir, n_queries: int = 5, k: int = 3,
                      bits: int = 6) -> DataFrame:
     """Sign-LSH bucketed ANN: candidates share the query's sign-quantized
     bucket code (random-hyperplane LSH with axis-aligned planes)."""
-    emb = load_embeddings(spark, sf_dir).withColumn(
-        "bucket", _sign_bucket(F.col("embedding"), bits)
+    emb = (
+        load_embeddings(spark, sf_dir)
+        # double cast before cosine: oracle-portability rule (see brute force)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .withColumn("bucket", _sign_bucket(F.col("embedding"), bits))
     )
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -106,28 +113,79 @@ def ann_lsh_bucketed(spark, sf_dir, n_queries: int = 5, k: int = 3,
     )
 
 
-def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4,
-                           bits: int = 4) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates share a sign-LSH
-    bucket (cuts the pair space ~2^bits for uniform data), survivors pass
-    the cosine threshold.  The scale path of embedding dedup: bucket
-    equi-join, never a full cross join."""
+N_EMB_BANDS = 4  # bands of sign bits over disjoint coordinate slices
+EMB_BAND_BITS = 8  # 2^8 = 256 buckets per band
+MAX_EMB_BUCKET = 100  # degenerate-bucket cap (mirrors textops.MAX_BAND_BUCKET)
+
+
+def _band_sign_bucket(col, band: int, bits: int):
+    """Sign-LSH code of coordinates [band*bits, band*bits + bits)."""
+    b = None
+    for j in range(bits):
+        bit = (F.element_at(col, band * bits + j + 1) > 0).cast("long") * (2 ** j)
+        b = bit if b is None else b + bit
+    return b
+
+
+def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, 100 TB shape.
+
+    Multi-band sign-LSH: each vector lands in N_EMB_BANDS buckets (one
+    8-bit sign code per disjoint coordinate slice); candidates must share
+    at least one (band, bucket).  Buckets above MAX_EMB_BUCKET occupants
+    are dropped before pairing — a bucket of B vectors yields B^2/2 pairs,
+    so one hot bucket (zero vectors, cluster collapse) would otherwise
+    dominate the whole job.  Pair generation carries only (vec_id, band,
+    bucket) — the 64-dim payload is joined back AFTER the distinct, so the
+    wide rows never ride through the quadratic stage."""
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("bucket", _sign_bucket(F.col("v"), bits))
-    a = emb.alias("a")
-    b = emb.alias("b")
-    return (
+    )
+    bands = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        _band_sign_bucket(F.col("v"), band, EMB_BAND_BITS)
+                        .alias("bucket"),
+                    )
+                    for band in range(N_EMB_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "b.band_id", "b.bucket")
+    occupancy = Window.partitionBy("band_id", "bucket")
+    bands = (
+        bands.withColumn("_n", F.count("*").over(occupancy))
+        .filter(F.col("_n") <= MAX_EMB_BUCKET)
+        .drop("_n")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

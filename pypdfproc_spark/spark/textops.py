@@ -158,7 +158,68 @@ def dedup_simhash(spark, sf_dir) -> DataFrame:
     for j in range(16):
         bit = (F.col("b%d" % j) > 0).cast("long") * (2 ** j)
         sim = bit if sim is None else sim + bit
-    return sums.select("doc_id", sim.alias("simhash16")).orderBy("doc_id")
+    return sums.select("doc_id", sim.alias("simhash16"))
+
+
+SIMHASH_BANDS = 4  # 16 bits banded 4x4: Hamming<=3 pairs share >=1 band
+MAX_SIMHASH_BUCKET = 100
+
+
+def dedup_simhash_pairs(spark, sf_dir, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate PAIRS (the pairing stage that makes SimHash a
+    dedup, not just a fingerprint).
+
+    The 16-bit signature is banded into 4 nibbles; by pigeonhole, any pair
+    within Hamming distance 3 agrees on at least one band, so the banded
+    equi-join finds all such pairs without a cross join.  Buckets above
+    MAX_SIMHASH_BUCKET occupants are dropped before pairing (same
+    degenerate-bucket guard as MinHash); the exact Hamming check
+    (bit_count(xor)) then filters candidates, all JVM-side."""
+    sim = dedup_simhash(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash16",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        (
+                            F.shiftright(F.col("simhash16"), 4 * j)
+                            .bitwiseAND(F.lit(15))
+                        ).alias("band_val"),
+                    )
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash16", "b.band_id", "b.band_val")
+    occupancy = Window.partitionBy("band_id", "band_val")
+    bands = (
+        bands.withColumn("_n", F.count("*").over(occupancy))
+        .filter(F.col("_n") <= MAX_SIMHASH_BUCKET)
+        .drop("_n")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash16").bitwiseXOR(F.col("b.simhash16"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:

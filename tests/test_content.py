@@ -117,3 +117,15 @@ def test_split_hex_odd_padded():
 def test_split_hex_unalignable_raises():
     with pytest.raises(ContentError):
         split_hex("480069", 2)  # 6 digits not a multiple of 4
+
+
+def test_truncated_inline_dict_array_raises():
+    # regression: the array loop inside the inline-dict parser must detect
+    # eof (Scanner returns ('eof', None) forever) instead of spinning
+    with pytest.raises(ContentError):
+        tokenize_content(b"/MC << /K [ 1 2 ")
+
+
+def test_truncated_inline_dict_raises():
+    with pytest.raises(ContentError):
+        tokenize_content(b"/MC << /K 1 ")

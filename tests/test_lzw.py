@@ -7,8 +7,10 @@ from pypdfproc_spark.core.filters import DecodeError, _lzw_decode, decode_stream
 
 
 def lzw_encode(data: bytes, early: int = 1) -> bytes:
-    """Test-only encoder following the PDF/TIFF width convention: the code
-    width bumps when (next_code + EarlyChange) reaches 2^width."""
+    """Test-only encoder following the standard PDF/TIFF width convention:
+    the width bumps when the decoder-visible table size (= next_code - 1,
+    the decoder learns each entry one code later) plus EarlyChange reaches
+    2^width — i.e. at 511/1023/2047 entries with EarlyChange=1."""
     table = {bytes([i]): i for i in range(256)}
     next_code = 258
     width = 9
@@ -27,7 +29,7 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
         emit(table[w])
         table[w + c] = next_code
         next_code += 1
-        if next_code + early >= (1 << width) and width < 12:
+        if next_code - 1 + early >= (1 << width) and width < 12:
             width += 1
         w = c
     if w:
@@ -83,6 +85,68 @@ def test_known_vector_kwkwk():
     if cnt:
         out.append((buf << (8 - cnt)) & 0xFF)
     assert _lzw_decode(bytes(out)) == b"-----A---"
+
+
+def _reference_decode(data: bytes, early: int = 1) -> bytes:
+    """Independent cross-check decoder: a literal transcription of the
+    pdf.js LZWStream width schedule (dictionaryLength + earlyChange ==
+    512/1024/2048 -> 10/11/12 bits), structured differently from
+    filters._lzw_decode on purpose."""
+    bit_pos = 0
+    n_bits = len(data) * 8
+
+    def read(width):
+        nonlocal bit_pos
+        if bit_pos + width > n_bits:
+            return None
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | ((data[bit_pos >> 3] >> (7 - (bit_pos & 7))) & 1)
+            bit_pos += 1
+        return v
+
+    dict_vals = [bytes([i]) for i in range(256)] + [b"", b""]
+    dict_len = 258
+    width = 9
+    prev = None
+    out = bytearray()
+    while True:
+        code = read(width)
+        if code is None or code == 257:
+            return bytes(out)
+        if code == 256:
+            dict_vals = [bytes([i]) for i in range(256)] + [b"", b""]
+            dict_len = 258
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = dict_vals[code]
+        elif code < dict_len:
+            entry = dict_vals[code]
+            dict_vals.append(prev + entry[:1])
+            dict_len += 1
+        else:
+            entry = prev + prev[:1]
+            dict_vals.append(entry)
+            dict_len += 1
+        out += entry
+        prev = entry
+        if dict_len + early == 512:
+            width = 10
+        elif dict_len + early == 1024:
+            width = 11
+        elif dict_len + early == 2048:
+            width = 12
+
+
+@pytest.mark.parametrize("early", [0, 1])
+def test_matches_independent_reference_decoder(early):
+    # payload forces growth through the 9->10->11 bit boundaries
+    payload = bytes((i * 7 + j) % 256 for i in range(40) for j in range(256))
+    enc = lzw_encode(payload, early=early)
+    assert _reference_decode(enc, early) == payload
+    assert _lzw_decode(enc, {"EarlyChange": early}) == payload
 
 
 def test_through_decode_stream():

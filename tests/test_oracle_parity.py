@@ -59,6 +59,28 @@ def _norm_rows(cols, rows):
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
+# engine-type canonicalization: the driver's value hash is type-sensitive
+# across SOME type boundaries (proven in round 1: DuckDB HUGEINT from a bare
+# SUM vs Spark BIGINT hash-mismatched despite equal values).  Integer widths
+# hash alike (simhash16 is Spark BIGINT vs DuckDB INTEGER and matched), so
+# all plain ints canonicalize together; HUGEINT and FLOAT32 are the
+# poisonous ones and must never appear on either side.
+_CANON = {
+    "tinyint": "int", "smallint": "int", "int": "int", "integer": "int",
+    "bigint": "int", "ubigint": "int", "uinteger": "int",
+    "double": "float64", "float": "float32", "real": "float32",
+    "string": "str", "varchar": "str",
+    "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts",
+    "date": "date", "binary": "binary", "blob": "binary",
+    "hugeint": "POISON-hugeint",
+}
+
+
+def _canon(t: str) -> str:
+    t = t.lower()
+    return _CANON.get(t, t)
+
 
 def test_every_oracle_has_query():
     assert set(ORACLES) <= set(QUERIES)
@@ -68,7 +90,17 @@ def test_every_oracle_has_query():
 def test_query_matches_oracle(name, spark, ddb):
     sdf = QUERIES[name](spark, SF_DIR)
     s_cols = sdf.columns
+    s_types = {c: _canon(t) for c, t in sdf.dtypes}
     s_rows = [tuple(r) for r in sdf.collect()]
+
+    d_types = {
+        r[0]: _canon(r[1])
+        for r in ddb.execute("DESCRIBE " + ORACLES[name]).fetchall()
+    }
+    assert s_types == d_types, (
+        "engine result types diverge (driver hash is type-sensitive): "
+        "spark=%s duckdb=%s" % (s_types, d_types)
+    )
 
     cur = ddb.execute(ORACLES[name])
     d_cols = [c[0] for c in cur.description]
