@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_buckets": similarity.embedding_buckets,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         # multimodal plumbing
@@ -385,6 +386,40 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_buckets"] = f"""
         SELECT {_bucket} AS bucket, count(*) AS vectors
         FROM embeddings GROUP BY 1
+    """
+
+    def _vcos(a: str, b: str) -> str:
+        return (
+            "round(list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s))"
+            " * sqrt(list_dot_product(%s, %s))), 4)" % (a, b, a, a, b, b)
+        )
+
+    sql["ann_ivf_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT vec_id - 5 AS cent_id, v AS cv FROM e
+                  WHERE vec_id >= 5 AND vec_id < 21),
+        cands AS (SELECT vec_id AS neighbor_id, v FROM e WHERE vec_id >= 5),
+        assign AS (
+          SELECT neighbor_id, v, cent_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY neighbor_id ORDER BY ccos DESC, cent_id ASC) AS rn
+            FROM (SELECT neighbor_id, v, cent_id, {_vcos('v', 'cv')} AS ccos
+                  FROM cands CROSS JOIN cents)) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, qv, cent_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY qcos DESC, cent_id ASC) AS rn
+            FROM (SELECT query_id, qv, cent_id, {_vcos('qv', 'cv')} AS qcos
+                  FROM q CROSS JOIN cents)) WHERE rn <= 4
+        ),
+        s AS (SELECT query_id, neighbor_id, {_vcos('qv', 'v')} AS cosine
+              FROM probes JOIN assign USING (cent_id))
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM s) WHERE rank <= 5
     """
 
     def _emb_band(band: int) -> str:

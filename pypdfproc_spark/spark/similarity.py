@@ -191,6 +191,78 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
     )
 
 
+def ann_ivf_topk(spark, sf_dir, n_queries: int = 5, k: int = 5,
+                 n_cells: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF (inverted-file) ANN: the coarse-quantizer scale path.
+
+    Build: every candidate vector is assigned to its nearest of ``n_cells``
+    centroids (deterministic centroids: the first n_cells candidate
+    vectors — a stand-in for a k-means codebook, which would be trained
+    offline; assignment itself is the IVF shape either way).  Probe: a
+    query scores only candidates in its ``nprobe`` nearest cells, cutting
+    the scanned fraction to ~nprobe/n_cells.
+
+    Scale shape: centroids broadcast (tiny); assignment is a broadcast
+    join + partial-aggregated max_by (the K candidate×centroid rows for a
+    vector collapse map-side, so the assignment shuffle carries ONE narrow
+    row per vector, never the K-way expansion); the probe join is an
+    equi-join on cell id.  All cosine ranking uses (rounded cosine desc,
+    id asc) so the DuckDB oracle orders identically under float rounding.
+    """
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.filter(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_cells)
+    ).select(
+        (F.col("vec_id") - n_queries).alias("cent_id"),
+        F.col("v").alias("cv"),
+    )
+    cands = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), "v"
+    )
+    ccos = F.round(cosine_expr(F.col("v"), F.col("cv")), 4)
+    assign = (
+        cands.join(F.broadcast(cents))
+        .select("neighbor_id", "v", "cent_id", ccos.alias("ccos"))
+        .groupBy("neighbor_id")
+        .agg(
+            # nearest centroid, lowest cent_id on ties (oracle tie-break)
+            F.max_by(
+                "cent_id", F.struct(F.col("ccos"), -F.col("cent_id"))
+            ).alias("cent_id"),
+            F.first("v").alias("v"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qcos = F.round(cosine_expr(F.col("qv"), F.col("cv")), 4)
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "qv", "cent_id", qcos.alias("qcos"))
+        .withColumn("_rn", F.row_number().over(wprobe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = F.broadcast(probes).join(assign, "cent_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("qv"), F.col("v")), 4).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_buckets(spark, sf_dir, bits: int = 6) -> DataFrame:
     """Bucket occupancy histogram: the skew diagnostic for the LSH path."""
     emb = load_embeddings(spark, sf_dir)

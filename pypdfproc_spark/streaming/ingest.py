@@ -114,3 +114,73 @@ def stream_metrics(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_url_capture_state(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    max_files_per_trigger: int = 64,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a running per-url profile (total captures seen, newest capture time)
+    maintained ACROSS micro-batches and across restarts.
+
+    This is the harness for stateful logic that watermarked built-ins can't
+    express (arbitrary per-key state transitions, e.g. crawl-politeness
+    budgets or per-site change detectors).  State lives in the streaming
+    checkpoint: a later availableNow catch-up run resumes the counts where
+    the previous run stopped (proven by tests/test_streaming.py::
+    test_stream_url_capture_state_persists).
+
+    Scale shape: state is partitioned by url hash across executors, one
+    Arrow batch per key-group per micro-batch; updated keys only are
+    emitted (outputMode update)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_fn(key, pdfs, state):
+        import pandas as _pd
+
+        captures = 0
+        last_ts = None
+        if state.exists:
+            captures, last_ts = state.get
+        for pdf in pdfs:
+            captures += len(pdf)
+            m = pdf["warc_ts"].max()
+            if not _pd.isna(m):
+                m = m.to_pydatetime()
+                if last_ts is None or m > last_ts:
+                    last_ts = m
+        state.update((captures, last_ts))
+        yield _pd.DataFrame(
+            {"url": [key[0]], "captures": [captures], "last_ts": [last_ts]}
+        )
+
+    pages = read_pages_stream(spark, input_path, max_files_per_trigger)
+    counts = (
+        pages.select("url", "warc_ts")
+        .groupBy("url")
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType="url string, captures bigint, last_ts timestamp",
+            stateStructType="captures bigint, last_ts timestamp",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    # foreachBatch parquet sink: update-mode emissions land as appended
+    # snapshots (latest row per url wins downstream), and — unlike the
+    # memory sink — it supports restarting from the checkpoint, which is
+    # the whole point of durable per-key state
+    def _sink(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(output_path)
+
+    return (
+        counts.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -145,3 +145,49 @@ def test_stream_metrics_watermark(spark):
         assert all(r.window_start is not None for r in rows_m)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_url_capture_state_persists(spark):
+    """applyInPandasWithState: per-url state must carry across separate
+    availableNow runs through the streaming checkpoint."""
+    import datetime
+
+    from pypdfproc_spark.streaming.ingest import stream_url_capture_state
+
+    tmp = tempfile.mkdtemp(prefix="stream_state_")
+    inp = os.path.join(tmp, "in")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(inp)
+    ts = datetime.datetime(2024, 3, 1)
+
+    def cap(url, i):
+        return (url, ts + datetime.timedelta(hours=i), b"<html>x</html>",
+                None, "en")
+
+    try:
+        _write_batch(spark, [cap("u://a", 0), cap("u://a", 1), cap("u://b", 0)],
+                     inp, "b1")
+        q = stream_url_capture_state(spark, inp, out, ckpt)
+        q.awaitTermination(120)
+        got1 = {r.url: (r.captures, r.last_ts)
+                for r in spark.read.parquet(out).collect()}
+        assert got1["u://a"][0] == 2
+        assert got1["u://b"][0] == 1
+        assert got1["u://a"][1] == ts + datetime.timedelta(hours=1)
+
+        # second availableNow run over NEW data only: state resumes
+        _write_batch(spark, [cap("u://a", 2), cap("u://a", 3), cap("u://a", 4)],
+                     inp, "b2")
+        q = stream_url_capture_state(spark, inp, out, ckpt)
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        # only u://a was updated in batch 2, and its count CONTINUES from 2
+        a_counts = sorted(r.captures for r in rows if r.url == "u://a")
+        assert a_counts == [2, 5]
+        a_latest = max((r.captures, r.last_ts) for r in rows if r.url == "u://a")
+        assert a_latest[1] == ts + datetime.timedelta(hours=4)
+        # u://b untouched in batch 2: emitted once (update mode)
+        assert [r.captures for r in rows if r.url == "u://b"] == [1]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
