@@ -158,3 +158,24 @@ def test_through_decode_stream():
 def test_garbage_raises():
     with pytest.raises(DecodeError):
         _lzw_decode(b"\xff\xff\xff\xff\xff\xff")
+
+
+def test_lzw_content_stream_through_extract_document():
+    """End-to-end: a PDF whose content stream is LZW-compressed extracts
+    text through the full engine path (beyond-reference coverage: the
+    reference raises on any non-Flate filter)."""
+    from fixtures.pdfgen import HELV, PdfFile
+    from pypdfproc_spark.core.extract import extract_document
+
+    content = b"BT /F1 12 Tf 72 720 Td (LZW works end to end) Tj ET"
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"/Filter /LZWDecode", lzw_encode(content))
+    r = extract_document(f.build(1))
+    assert r.error is None, r.error
+    assert r.pages == ["\nLZW works end to end"]
+    assert r.decode_failures == 0
