@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         # multimodal plumbing
         "blob_metadata": multimodal.blob_metadata_query,
+        "blob_byte_histogram": multimodal.blob_byte_histogram_query,
         # extraction paths (rows-only; value gate = golden parity tests)
         "extract_pages": _q_extract_pages,
         "extract_metrics": _q_extract_metrics,
@@ -476,6 +477,26 @@ def oracle_sql() -> dict[str, str]:
                WHEN starts_with(coalesce(text, ''), '%PDF-') THEN 'pdf'
                ELSE 'bin' END AS magic
         FROM documents
+    """
+
+    sql["blob_byte_histogram"] = """
+        WITH b AS (
+          SELECT doc_id, encode(coalesce(text, '')) AS blob FROM documents
+        ), pos AS (
+          SELECT doc_id, hex(blob) AS h,
+                 unnest(generate_series(1, octet_length(blob)::INT)) AS i
+          FROM b
+        ), v AS (
+          SELECT doc_id,
+                 strpos('0123456789ABCDEF', substr(h, 2 * i - 1, 1)) - 1
+                   AS bin
+          FROM pos
+        ), c AS (SELECT doc_id, bin, count(*) AS n FROM v GROUP BY 1, 2),
+        bins AS (
+          SELECT doc_id, unnest(generate_series(0, 15)) AS bin FROM b
+        )
+        SELECT bins.doc_id, bins.bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        FROM bins LEFT JOIN c ON c.doc_id = bins.doc_id AND c.bin = bins.bin
     """
 
     # extract_pages / extract_metrics: the extraction UDF itself is not

@@ -130,7 +130,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_simhash_pairs", "dedup_embedding_cosine",
         "dedup_ngram_jaccard", "doc_fingerprint", "lang_id",
         "quality_score", "token_count", "ann_topk_bruteforce",
-        "ann_lsh_bucketed", "ann_ivf_topk", "blob_metadata", "latest_snapshot",
+        "ann_lsh_bucketed", "ann_ivf_topk", "blob_metadata",
+        "blob_byte_histogram", "latest_snapshot",
         "events_sessionize", "metrics_rollup", "topk_skew",
     ]
     out = {}

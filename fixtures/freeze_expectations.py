@@ -17,7 +17,6 @@ pipeline's dedup/bucket semantics change.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 
@@ -119,10 +118,12 @@ def expected_rows(sf_dir: str = SF_DIR, limit: int = LIMIT,
     from pypdfproc_spark.core.extract import extract_document
 
     rows = build_pages_rows(load_documents(sf_dir, limit))
-    # latest_snapshot: newest warc_ts per url, md5(html) desc tie-break
+    # latest_snapshot: newest warc_ts per url, xxhash64(html) desc tie-break
+    # (pipeline.latest_snapshot uses F.xxhash64; same function, same seed)
     best: dict[str, tuple] = {}
     for url, ts, payload, _text, _lang in rows:
-        key = (ts, hashlib.md5(payload).hexdigest())
+        h = xxh64(bytes(payload))
+        key = (ts, h - (1 << 64) if h >= (1 << 63) else h)
         if url not in best or key > best[url][0]:
             best[url] = (key, payload)
 

@@ -23,18 +23,29 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", default=None)
     ap.add_argument("--results", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--buckets", type=int, default=4096)
     ap.add_argument("--partitions", type=int, default=256)
+    ap.add_argument(
+        "--input-table", default=None,
+        help="read a url-bucketed CATALOG TABLE instead of --input: the "
+        "dedup window then runs with zero Exchange (see "
+        "pipeline.write_pages_bucketed; on Iceberg use bucket(N, url))",
+    )
     args = ap.parse_args()
+    if not (args.input or args.input_table):
+        ap.error("one of --input / --input-table is required")
 
     from pypdfproc_spark.spark.pipeline import run_resumable
 
     spark = SparkSession.builder.appName("pypdfproc-extract").getOrCreate()
-    pages = spark.read.parquet(args.input)
+    if args.input_table:
+        pages = spark.table(args.input_table)
+    else:
+        pages = spark.read.parquet(args.input)
     run_resumable(
         spark,
         pages,

@@ -120,6 +120,55 @@ def blob_metadata_pandas(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(_make_meta_batches(_PKG_ROOT), schema=BLOB_META_SCHEMA)
 
 
+HIST_BINS = 16  # high-nibble histogram: bin = byte >> 4
+
+HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _make_hist_batches(pkg_root: str):
+    """Factory closure (pickled by value; see pipeline._make_extract_batch)."""
+
+    def _hist_batches(it):
+        import numpy as _np
+        import pandas as _pd
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        bins = list(range(16))
+        for pdf in it:
+            ids, bs, ns = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                hist = _np.bincount(arr >> 4, minlength=16)
+                ids.extend([int(doc_id)] * 16)
+                bs.extend(bins)
+                ns.extend(int(x) for x in hist)
+            yield _pd.DataFrame({"doc_id": ids, "bin": bs, "n": ns})
+
+    return _hist_batches
+
+
+def blob_byte_histogram(blobs: DataFrame) -> DataFrame:
+    """Per-blob byte-value histogram (16 high-nibble bins): the REAL
+    feature-extraction batch shape for multimodal columns — binary column
+    in, Arrow batches through numpy (frombuffer + bincount, fully
+    vectorized), typed rows out.  This is the harness an image/audio
+    featurizer plugs into; unlike the decode stubs it does genuine work
+    and has an exact DuckDB oracle (hex-nibble extraction)."""
+    return blobs.mapInPandas(_make_hist_batches(_PKG_ROOT), schema=HIST_SCHEMA)
+
+
+def blob_byte_histogram_query(spark, sf_dir) -> DataFrame:
+    return blob_byte_histogram(documents_as_blobs(spark, sf_dir))
+
+
 def documents_as_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stand-in binary corpus: utf-8 payload per document (deterministic)."""
     docs = spark.read.parquet(sf_dir.rstrip("/") + "/documents.parquet")

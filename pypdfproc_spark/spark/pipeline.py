@@ -142,9 +142,13 @@ def latest_snapshot(pages: DataFrame) -> DataFrame:
     # tie-break on the payload hash: two captures with equal warc_ts must
     # pick a deterministic winner or resume/idempotence and any byte-level
     # output hash break (mirrors the event_id tiebreak in
-    # textops.latest_snapshot_events)
+    # textops.latest_snapshot_events).  xxhash64, not md5: the sort key is
+    # evaluated for EVERY row's payload, and at corpus scale a
+    # cryptographic hash per MB payload is pure waste (the pure-Python
+    # oracle twin, fixtures/freeze_expectations.py, implements the same
+    # xxh64 from spec)
     w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(), F.md5("html").desc()
+        F.col("warc_ts").desc(), F.xxhash64("html").desc()
     )
     return (
         pages.withColumn("_rn", F.row_number().over(w))

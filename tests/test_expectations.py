@@ -35,6 +35,19 @@ def test_xxh64_matches_spark():
 
         df = spark.createDataFrame([(s,) for s in samples], ["s"])
         got = {r.s: r.h for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+
+        # binary columns too (latest_snapshot tie-breaks on xxhash64(html))
+        from fixtures.freeze_expectations import xxh64
+
+        payloads = [b"", b"x" * 7, b"<html>capture</html>", bytes(range(64))]
+        bdf = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(payloads)], ["i", "b"]
+        )
+        bgot = {r.i: r.h
+                for r in bdf.select("i", F.xxhash64("b").alias("h")).collect()}
+        for i, p in enumerate(payloads):
+            h = xxh64(p)
+            assert (h - (1 << 64) if h >= (1 << 63) else h) == bgot[i], p
     finally:
         spark.stop()
     for s in samples:

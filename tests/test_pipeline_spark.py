@@ -70,15 +70,19 @@ def test_latest_snapshot_dedup(spark, pages_df):
 
 def test_latest_snapshot_tiebreak_deterministic(spark):
     """Two captures of one url with EQUAL warc_ts must yield a stable winner
-    (md5(html) desc), independent of input order/partitioning."""
+    (xxhash64(html) desc), independent of input order/partitioning."""
     import datetime
-    import hashlib
 
+    from fixtures.freeze_expectations import xxh64
     from pypdfproc_spark.spark import pipeline as P
+
+    def signed64(b):
+        h = xxh64(b)
+        return h - (1 << 64) if h >= (1 << 63) else h
 
     ts = datetime.datetime(2024, 6, 1)
     payloads = [b"<html>capture one</html>", b"<html>capture two</html>"]
-    expected = max(payloads, key=lambda b: hashlib.md5(b).hexdigest())
+    expected = max(payloads, key=signed64)
     for order in (payloads, payloads[::-1]):
         rows = [("https://t.test/x", ts, p, None, "en") for p in order]
         df = spark.createDataFrame(rows, P.PAGES_SCHEMA).repartition(4)
