@@ -212,7 +212,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _sig = ", ".join(
-        "min(md5(tok || ':%d')) AS s%d" % (i, i) for i in range(8)
+        "min(substr(%s, %d, 8)) AS s%d"
+        % ("md5(tok)" if i < 4 else "md5(tok || 'x')", 8 * (i % 4) + 1, i)
+        for i in range(8)
     )
     _bands = " UNION ALL ".join(
         "SELECT doc_id, %d AS band_id, md5(s%d || s%d) AS band_hash FROM sigs"

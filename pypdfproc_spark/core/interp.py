@@ -204,7 +204,7 @@ class PageInterpreter:
     """Interprets one page (plus XObject recursion) into an event list."""
 
     def __init__(self, doc, resolver: FontResolver, resources_stack: list,
-                 on_event=None):
+                 on_event=None, on_glyph=None):
         self.doc = doc
         self.fonts = resolver
         # shared, document-lifetime resource stack (the reference's
@@ -215,6 +215,10 @@ class PageInterpreter:
         # exception leaves the same partial fold state as the reference's
         # callback architecture (__init__.py:273-298)
         self._sink = on_event
+        # optional fast path for the one event class that dominates volume
+        # (~95% of events are glyph draws): called as on_glyph((x, y), glyph)
+        # directly, skipping tuple construction + string dispatch per glyph
+        self._on_glyph = on_glyph
 
     def _emit(self, ev) -> None:
         # with a sink attached (the assembler), events are consumed as they
@@ -339,15 +343,23 @@ class PageInterpreter:
 
     def _show_text(self, page: dict, op: Op, s: StateStack) -> None:
         emit = self._emit
+        on_glyph = self._on_glyph
         emit(("text_start",))
+        # the font can only change BETWEEN show-text ops (Tf), so resolve it
+        # on the first string sub and reuse — lazily, because a missing font
+        # must raise only when the first string is reached, AFTER any
+        # leading TJ kern numbers already emitted their space_draw events
+        # (partial-state parity on error pages)
+        font = None
         for sub in op.operands:
             if isinstance(sub, (int, float)):
                 s.T.advance_kern(float(sub))
                 emit(("space_draw", float(sub)))
                 continue
+            if font is None:
+                font = self.lookup_font(s.T.Tf)
             if isinstance(sub, HexStr):
-                f = self.lookup_font(s.T.Tf)
-                enc = self.doc.resolve(f.get("Encoding"))
+                enc = self.doc.resolve(font.get("Encoding"))
                 if isinstance(enc, str) and enc.startswith("Identity"):
                     chars = split_hex(sub.hexdigits, bytesize=2)
                 else:
@@ -359,22 +371,42 @@ class PageInterpreter:
             else:
                 raise InterpError("unexpected Tj operand %r" % (sub,))
             emit(("text", "".join(chars)))
-            font = self.lookup_font(s.T.Tf)
             T = s.T
             cm = s.S.cm
             get_glyph = self.fonts.get_glyph
             # glyph position = [Tfs*Tz 0; 0 Tfs; 0 Tr] x Tm x cm; only the
             # translation row (E,F) is observed, and all matrices here have
             # G=H=0, I=1, so the scalar form below is bit-identical to the
-            # reference's two full 3x3 products (__init__.py:521)
+            # reference's two full 3x3 products (__init__.py:521).  Within
+            # one string only translations touch Tm, so A-D are loop
+            # constants and E/F evolve as scalars; the advance arithmetic
+            # below is advance_glyph + translated(tx, 0.0) verbatim
+            # (incl. the 0.0* terms — their signed zeros are observable).
             Tr = float(T.Tr)
-            for ch in chars:
-                g = get_glyph(font, ord(ch))
-                Tm = T.Tm
-                m1e = 0.0 * Tm.A + Tr * Tm.C + Tm.E
-                m1f = 0.0 * Tm.B + Tr * Tm.D + Tm.F
-                x = m1e * cm.A + m1f * cm.C + cm.E
-                y = m1e * cm.B + m1f * cm.D + cm.F
-                emit(("glyph_draw", (x, y), g))
-                T.advance_glyph(g.width)
+            Tm = T.Tm
+            ta, tb, tc, td = Tm.A, Tm.B, Tm.C, Tm.D
+            te, tf = Tm.E, Tm.F
+            cmA, cmB, cmC, cmD, cmE, cmF = cm.A, cm.B, cm.C, cm.D, cm.E, cm.F
+            Tfs, Tc, Tw = T.Tfs, T.Tc, T.Tw
+            Tzq = T.Tz / 100.0  # loop-constant; same value every glyph
+            try:
+                for ch in chars:
+                    g = get_glyph(font, ord(ch))
+                    m1e = 0.0 * ta + Tr * tc + te
+                    m1f = 0.0 * tb + Tr * td + tf
+                    x = m1e * cmA + m1f * cmC + cmE
+                    y = m1e * cmB + m1f * cmD + cmF
+                    if on_glyph is not None:
+                        on_glyph((x, y), g)
+                    else:
+                        emit(("glyph_draw", (x, y), g))
+                    # == T.advance_glyph(g.width), scalarized
+                    tx = ((g.width - 0.0) / 1000.0 * Tfs + Tc + Tw) * Tzq
+                    te = tx * ta + 0.0 * tc + te
+                    tf = tx * tb + 0.0 * td + tf
+            finally:
+                # write back even when a glyph lookup raises mid-string:
+                # the reference advanced per glyph, and the un-popped state
+                # is observable through XObject recursion unwind
+                T.Tm = Mat._make(ta, tb, tc, td, te, tf)
         emit(("text_end",))

@@ -67,14 +67,24 @@ def dedup_exact_keep_first(spark, sf_dir) -> DataFrame:
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id -> s0..s{N_PERM-1} string-min signatures.
 
-    Permutation i is the md5 of token||':'||i; MIN over a string hash is a
-    valid minhash (uniform order on tokens), and — unlike engine-native
-    hash() — md5 is bit-identical across Spark and DuckDB."""
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
+    Permutations are disjoint 8-hex-char (32-bit) slices of md5(tok) and
+    md5(tok||'x'): md5 bits are uniformly mixed, so each slice is an
+    independent uniform order on tokens, and a MIN over it is a valid
+    minhash.  TWO md5 invocations per token instead of one per permutation
+    — at corpus scale the signature stage is hash-bound, so this is ~4x
+    less hashing for the same banding quality.  md5 (not engine-native
+    hash()) stays bit-identical across Spark and DuckDB."""
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
+        )
+        .withColumn("h1", F.md5("tok"))
+        .withColumn("h2", F.md5(F.concat(F.col("tok"), F.lit("x"))))
     )
     aggs = [
-        F.min(F.md5(F.concat(F.col("tok"), F.lit(":%d" % i)))).alias("s%d" % i)
+        F.min(
+            F.substring("h1" if i < 4 else "h2", 8 * (i % 4) + 1, 8)
+        ).alias("s%d" % i)
         for i in range(N_PERM)
     ]
     return toks.groupBy("doc_id").agg(*aggs)
