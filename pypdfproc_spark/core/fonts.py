@@ -217,15 +217,25 @@ class FontResolver:
 
     def __init__(self, doc):
         self.doc = doc
-        self._glyphs: dict[tuple[int, int], Glyph] = {}
+        # nested cache: id(font) -> {cid -> Glyph}; the interpreter fetches
+        # the inner dict once per show-text op so the per-glyph hit is one
+        # plain dict.get with no tuple allocation
+        self._glyphs: dict[int, dict[int, Glyph]] = {}
         self._diff_maps: dict[int, dict[int, str]] = {}
         self._cmappers: dict[int, object] = {}
         self._type0: dict[int, dict] = {}
         self.fallbacks = 0  # fallback-rate metric events
 
+    def glyph_cache(self, font: dict) -> dict:
+        fid = id(font)
+        d = self._glyphs.get(fid)
+        if d is None:
+            d = self._glyphs[fid] = {}
+        return d
+
     def get_glyph(self, font: dict, cid: int) -> Glyph:
-        key = (id(font), cid)
-        g = self._glyphs.get(key)
+        cache = self.glyph_cache(font)
+        g = cache.get(cid)
         if g is not None:
             return g
         subtype = font.get("Subtype")
@@ -243,7 +253,7 @@ class FontResolver:
                 raise FontError(
                     "unrecognized font encoding type %r for cid %d" % (enc, cid)
                 )
-        self._glyphs[key] = g
+        cache[cid] = g
         return g
 
     # --- Type1 standard-font path (fontcache.py:102-135) -------------------

@@ -374,6 +374,7 @@ class PageInterpreter:
             T = s.T
             cm = s.S.cm
             get_glyph = self.fonts.get_glyph
+            cached_glyph = self.fonts.glyph_cache(font).get
             # glyph position = [Tfs*Tz 0; 0 Tfs; 0 Tr] x Tm x cm; only the
             # translation row (E,F) is observed, and all matrices here have
             # G=H=0, I=1, so the scalar form below is bit-identical to the
@@ -391,7 +392,10 @@ class PageInterpreter:
             Tzq = T.Tz / 100.0  # loop-constant; same value every glyph
             try:
                 for ch in chars:
-                    g = get_glyph(font, ord(ch))
+                    cid = ord(ch)
+                    g = cached_glyph(cid)
+                    if g is None:
+                        g = get_glyph(font, cid)
                     m1e = 0.0 * ta + Tr * tc + te
                     m1f = 0.0 * tb + Tr * td + tf
                     x = m1e * cmA + m1f * cmC + cmE
