@@ -69,3 +69,49 @@ def test_repeated_extraction_is_deterministic():
         r1 = extract_document(data)
         r2 = extract_document(data)
         assert r1.pages == r2.pages and r1.error == r2.error, name
+
+
+ADVERSARIAL = {
+    # recursion bombs
+    "deep_arrays": b"%PDF-1.4\n1 0 obj\n" + b"[" * 4000 + b"]" * 4000
+                   + b"\nendobj\n",
+    "deep_dicts": b"%PDF-1.4\n1 0 obj\n" + b"<< /A " * 2000 + b">> " * 2000
+                  + b"\nendobj\n",
+    # a page tree that points at itself (cycle guard)
+    "cyclic_page_tree": (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [2 0 R] /Count 1 >> endobj\n"
+        b"xref\n0 3\n0000000000 65535 f \n0000000009 00000 n \n"
+        b"0000000058 00000 n \ntrailer << /Size 3 /Root 1 0 R >>\n"
+        b"startxref\n117\n%%EOF\n"
+    ),
+    # /Length lies beyond EOF
+    "lying_length": (
+        b"%PDF-1.4\n1 0 obj << /Length 999999 >> stream\nxx\nendstream"
+        b" endobj\n"
+    ),
+    # an XObject that Do-es itself forever (RecursionError -> error row)
+    "cyclic_xobject": (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R "
+        b"/Resources << /XObject << /X 4 0 R >> >> /Contents 5 0 R >> endobj\n"
+        b"4 0 obj << /Subtype /Form /Length 5 >> stream\n/X Do\nendstream"
+        b" endobj\n"
+        b"5 0 obj << /Length 5 >> stream\n/X Do\nendstream endobj\n"
+    ),
+    # header only / garbage tails
+    "header_only": b"%PDF-1.7",
+    "binary_noise": b"%PDF-1.4" + bytes(range(256)) * 64,
+}
+
+
+@pytest.mark.parametrize("name", sorted(ADVERSARIAL))
+def test_adversarial_shapes_never_raise(name):
+    """Structured hostile inputs (not random mutations): recursion bombs,
+    cyclic graphs, lying stream lengths.  Contract: typed error rows, no
+    exception, no hang."""
+    r = _check(ADVERSARIAL[name])
+    assert r.parser in ("pdf", "html", "error")
