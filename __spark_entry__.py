@@ -72,6 +72,27 @@ def _q_extract_pages(spark, sf_dir):
     )
 
 
+def _q_extract_pages_bucketed(spark, sf_dir):
+    """Same rows as extract_pages, but through the url-bucketed layout
+    (write_pages_bucketed + run_pipeline_bucketed, the zero-Exchange dedup
+    path) — checked against the SAME frozen expectations, so the driver
+    itself verifies the bucketed plan is value-identical."""
+    from pyspark.sql import functions as F
+
+    from pypdfproc_spark.spark import pipeline as P
+
+    pages = _pages_df(spark, sf_dir, limit=150)
+    spark.sql("DROP TABLE IF EXISTS oracle_pages_bucketed")
+    P.write_pages_bucketed(pages, "oracle_pages_bucketed", n_buckets=16)
+    res, _ = P.run_pipeline_bucketed(
+        spark, "oracle_pages_bucketed", n_buckets=16, partitions=8
+    )
+    return res.select(
+        "url", F.col("page_no").cast("long").alias("page_no"),
+        "text", "parser",
+    )
+
+
 def _q_extract_metrics(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -121,8 +142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "blob_metadata": multimodal.blob_metadata_query,
         "blob_byte_histogram": multimodal.blob_byte_histogram_query,
-        # extraction paths (rows-only; value gate = golden parity tests)
+        # extraction paths (oracle = frozen expectations parquet; text
+        # values further gated by the byte-identical golden suite)
         "extract_pages": _q_extract_pages,
+        "extract_pages_bucketed": _q_extract_pages_bucketed,
         "extract_metrics": _q_extract_metrics,
     }
 
@@ -512,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, page_no, text, parser
         FROM read_parquet('%s/extract_pages_sf001.parquet')
     """ % _exp
+    sql["extract_pages_bucketed"] = sql["extract_pages"]
     sql["extract_metrics"] = """
         SELECT bucket, docs, pages_parsed, pages_dropped, decode_failures,
                fallback_rate

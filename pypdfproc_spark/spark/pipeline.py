@@ -317,6 +317,20 @@ def write_pages_bucketed(pages: DataFrame, table: str,
     payload bytes never cross the network (verified by
     tests/test_pipeline_spark.py::test_bucketed_dedup_has_no_exchange and
     the captured plan in docs/PLANS.md)."""
+    spark = pages.sparkSession
+    # a PREVIOUS session's managed table leaves an orphaned warehouse dir
+    # the in-memory catalog no longer knows about; creation then fails with
+    # LOCATION_ALREADY_EXISTS.  Drop both the catalog entry and the
+    # location.  (Iceberg/Hive catalogs persist metadata, so this local
+    # housekeeping does not apply there.)
+    spark.sql("DROP TABLE IF EXISTS %s" % table)
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    if wh and "/" not in table:
+        import shutil as _shutil
+
+        _shutil.rmtree(_os.path.join(wh, table.lower()), ignore_errors=True)
     (
         pages.write.mode("overwrite")
         .format("parquet")
