@@ -96,8 +96,12 @@ import re as _re
 # master token regex (C-speed alternation; order matters: dict delims
 # before hex, numbers before bare keywords).  Semantically identical to the
 # hand loop it replaced; literal strings keep the manual balanced scan.
+# leading whitespace/comments are folded into the token regex so the hot
+# path costs ONE re.match per token instead of two
 _TOKEN_RE = _re.compile(
     rb"""
+    (?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*
+    (?:
       (?P<num>[+-]?[0-9.]+)
     | (?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)
     | (?P<kw>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)
@@ -107,10 +111,10 @@ _TOKEN_RE = _re.compile(
     | (?P<arro>\[)
     | (?P<arrc>\])
     | (?P<lito>\()
+    )?
     """,
     _re.VERBOSE,
 )
-_WS_RE = _re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
 _NONHEX_WS = bytes(WHITESPACE)
 
 
@@ -136,42 +140,42 @@ class Scanner:
 
     def next_token(self):
         data, n = self.data, len(self.data)
-        m = _WS_RE.match(data, self.pos)
-        if m:
-            self.pos = m.end()
-        i = self.pos
-        if i >= n:
-            return ("eof", None)
-
-        m = _TOKEN_RE.match(data, i)
-        if m:
-            kind = m.lastgroup
+        m = _TOKEN_RE.match(data, self.pos)
+        kind = m.lastgroup  # the pattern always matches (WS* + optional tok)
+        if kind is not None:
             self.pos = m.end()
             if kind == "num":
-                text = m.group().decode("latin-1")
+                text = m.group("num").decode("latin-1")
                 isfloat = "." in text
                 try:
                     return ("float", float(text)) if isfloat else ("int", int(text))
                 except ValueError:
-                    raise PdfError("malformed number %r at %d" % (text, i)) from None
+                    raise PdfError(
+                        "malformed number %r at %d" % (text, m.start("num"))
+                    ) from None
             if kind == "name":
-                return ("name", m.group()[1:].decode("latin-1"))
+                return ("name", m.group("name")[1:].decode("latin-1"))
             if kind == "kw":
-                return ("kw", m.group().decode("latin-1"))
+                return ("kw", m.group("kw").decode("latin-1"))
             if kind == "dicto":
                 return ("dict<", None)
             if kind == "dictc":
                 return ("dict>", None)
             if kind == "hex":
-                body = m.group()[1:-1]
+                body = m.group("hex")[1:-1]
                 hx = bytes(c for c in body if c not in _NONHEX_WS).decode("latin-1")
                 return ("hex", HexStr(hx))
             if kind == "arro":
                 return ("arr<", None)
             if kind == "arrc":
                 return ("arr>", None)
-            # 'lito' falls through to the balanced scan below
-            self.pos = i  # rewind; the literal scan consumes from '('
+            # 'lito': rewind to '('; the balanced scan below consumes it
+            self.pos = m.start("lito")
+        else:
+            self.pos = m.end()  # whitespace/comments only
+        i = self.pos
+        if i >= n:
+            return ("eof", None)
 
         b = data[i]
         if b == 0x28:  # '(' literal string: balanced-paren scan
