@@ -120,6 +120,56 @@ def blob_metadata_pandas(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(_make_meta_batches(_PKG_ROOT), schema=BLOB_META_SCHEMA)
 
 
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _make_decode_batches(pkg_root: str):
+    """Factory closure (pickled by value; see pipeline._make_extract_batch)."""
+
+    def _decode_batches(it):
+        import sys as _sys
+
+        import pandas as _pd
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        from pypdfproc_spark.spark.multimodal import decode_image
+
+        for pdf in it:
+            ids, oks, errs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    decode_image(bytes(payload))
+                    ok, err = True, None
+                except NotImplementedError as e:
+                    ok, err = False, "NotImplementedError: %s" % e
+                except Exception as e:  # a real decoder's failure path
+                    ok, err = False, "%s: %s" % (type(e).__name__, e)
+                ids.append(int(doc_id))
+                oks.append(ok)
+                errs.append(err)
+            yield _pd.DataFrame({"doc_id": ids, "decoded": oks, "error": errs})
+
+    return _decode_batches
+
+
+def blob_decode(blobs: DataFrame) -> DataFrame:
+    """The gated media-decode harness: binary column -> mapInPandas ->
+    typed (decoded, error) rows.  decode_image is a declared stub in this
+    container (no media libraries), so every row surfaces the typed
+    NotImplementedError as an error VALUE — never an exception — which is
+    exactly the contract a real decoder plugs into (its failures become
+    per-row errors, its successes flip ``decoded``)."""
+    return blobs.mapInPandas(_make_decode_batches(_PKG_ROOT),
+                             schema=DECODE_SCHEMA)
+
+
 HIST_BINS = 16  # high-nibble histogram: bin = byte >> 4
 
 HIST_SCHEMA = T.StructType(
