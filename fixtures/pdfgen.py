@@ -524,6 +524,19 @@ def f22_mac_encoding() -> bytes:
     return simple_doc(c, font)
 
 
+def f23_tr_ts_rise() -> bytes:
+    """Tr (render mode) and Ts (rise): the reference uses **Tr** — not Ts —
+    in the glyph position matrix ([Tfs*Tz 0; 0 Tfs; 0 Tr] x Tm x cm,
+    __init__.py:521), so a nonzero Tr shifts glyph y (new line breaks in
+    GetFullText) while Ts is tracked but never observed.  Differential
+    coverage for the quirk and for the scalarized position arithmetic."""
+    c = (b"BT /F1 12 Tf 72 720 Td (Base line) Tj "
+         b"7 Tr (shifted by render mode) Tj "
+         b"0 Tr 5 Ts (rise is ignored) Tj "
+         b"3 Tr [(mix) -600 (kern)] TJ ET")
+    return simple_doc(c, HELV)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -547,6 +560,7 @@ FIXTURES = {
     "f20_nested_xobject": f20_nested_xobject,
     "f21_type0_tounicode": f21_type0_tounicode,
     "f22_mac_encoding": f22_mac_encoding,
+    "f23_tr_ts_rise": f23_tr_ts_rise,
 }
 
 

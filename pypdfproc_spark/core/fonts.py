@@ -211,6 +211,9 @@ def differences_array_to_map(arr: list) -> dict[int, str]:
 # the resolver
 
 
+_TYPE1_GLYPH_MEMO: dict[tuple, Glyph] = {}
+
+
 class FontResolver:
     """Per-document glyph resolution with parse-once caches, mirroring the
     reference's FontCache (glyph map, diff map, Type0 cache, CMapper memo)."""
@@ -259,9 +262,19 @@ class FontResolver:
     # --- Type1 standard-font path (fontcache.py:102-135) -------------------
 
     def _glyph_type1(self, font: dict, cid: int) -> Glyph:
-        fm = afm.get_font_metrics(font.get("BaseFont") or "")
+        # pure function of (BaseFont, encoding name, cid) over static AFM +
+        # encoding-map data, so memoized ACROSS documents (Glyph instances
+        # are immutable-by-convention); the per-document cache in get_glyph
+        # still short-circuits repeats within a document
         enc = font.get("Encoding")
-        encmap = encoding_map(enc if isinstance(enc, str) else "Std")
+        encname = enc if isinstance(enc, str) else "Std"
+        basefont = font.get("BaseFont") or ""
+        key = (basefont, encname, cid)
+        g = _TYPE1_GLYPH_MEMO.get(key)
+        if g is not None:
+            return g
+        fm = afm.get_font_metrics(basefont)
+        encmap = encoding_map(encname)
         if cid not in encmap:
             raise FontError(
                 "cid %d not in encoding map for %r" % (cid, enc)
@@ -272,8 +285,10 @@ class FontResolver:
             raise FontError("no unicode for glyph %r" % gname)
         rec = fm.get(gname)
         if rec is None:
-            raise FontError("glyph %r not in AFM for %r" % (gname, font.get("BaseFont")))
-        return Glyph(cid, rec[1], u)
+            raise FontError("glyph %r not in AFM for %r" % (gname, basefont))
+        g = Glyph(cid, rec[1], u)
+        _TYPE1_GLYPH_MEMO[key] = g
+        return g
 
     # --- named-encoding path (fontcache.py:137-174) -------------------------
 
