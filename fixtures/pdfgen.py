@@ -537,6 +537,44 @@ def f23_tr_ts_rise() -> bytes:
     return simple_doc(c, HELV)
 
 
+def f24_graphics_soup() -> bytes:
+    """The non-text operator vocabulary interleaved with text: color ops
+    (incl. variadic sc/scn), path building (m/l/c/v/y/h/re), painting
+    (S/s/f/F/f*/B/b/B*/b*/n), clipping (W/W*), graphics params
+    (i/j/J/M/ri/w, dash array d) — all state-tracked or no-ops in the
+    reference (__init__.py:363-476); any dispatch/arity mismatch on our
+    side would drop the page and break the golden.  Second page is a
+    plain-text survivor for contrast."""
+    pages = [
+        # page 1: drops via the B*/b* regrouper membership bug
+        (b"0.5 0.5 0.5 rg 100 100 m 200 200 l B* b* "
+         b"BT /F1 12 Tf 72 720 Td (Never extracted) Tj ET"),
+        # page 2: drops via the scn pattern-name skipped-token bug
+        # (the reference's SCN/scn operand scan collects INT/FLOAT/LIT only,
+        # so /P1 is skipped and the lastidx check raises, text.py:610)
+        (b"0.2 0.4 /P1 scn "
+         b"BT /F1 12 Tf 72 720 Td (Also never extracted) Tj ET"),
+        b"BT /F1 12 Tf 72 720 Td (Survivor page three) Tj ET",
+    ]
+    return simple_doc(b"", HELV, n_pages=3, contents_per_page=pages)
+
+
+def f25_graphics_survivor() -> bytes:
+    """f24's vocabulary minus B*/b*: the page must SURVIVE, so the color /
+    path / painting / clipping / param dispatches (and the S stroke
+    callback) are differentially exercised around extracted text."""
+    c = (b"0.5 0.5 0.5 rg 0 0 1 RG 0.1 G 0.9 g "
+         b"/DeviceRGB cs /DeviceGray CS 1 0 0 sc 0.3 SC 0.2 0.4 scn "
+         b"0.9 SCN 0.2 0.9 0.3 0.1 k 0.1 0.2 0.3 0.4 K "
+         b"1 i 2 j 1 J 3 M /RelativeColorimetric ri 2 w [3 2] 0 d "
+         b"100 100 m 200 200 l "
+         b"110 120 130 140 150 160 c 10 20 30 40 v 50 60 70 80 y h "
+         b"50 60 70 80 re S s f F f* B b n W n W* n "
+         b"BT /F1 12 Tf 72 720 Td (Text amid graphics) Tj ET "
+         b"q 0.7 0.7 0.7 rg Q BT /F1 12 Tf 72 700 Td (After q Q) Tj ET")
+    return simple_doc(c, HELV)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -561,6 +599,8 @@ FIXTURES = {
     "f21_type0_tounicode": f21_type0_tounicode,
     "f22_mac_encoding": f22_mac_encoding,
     "f23_tr_ts_rise": f23_tr_ts_rise,
+    "f24_graphics_soup": f24_graphics_soup,
+    "f25_graphics_survivor": f25_graphics_survivor,
 }
 
 

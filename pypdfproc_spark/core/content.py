@@ -15,7 +15,7 @@ the reference's RenderPages does (__init__.py:287-296).
 
 from __future__ import annotations
 
-from .cos import PdfError, Scanner
+from .cos import LitStr, PdfError, Scanner
 
 
 class ContentError(PdfError):
@@ -57,9 +57,19 @@ _OPS = {
 }
 
 # Fixed arities (reference: parser/text.py:343-621 regrouping classes).
+#
+# Quirk parity: the reference's zero-arity membership list contains the
+# LITERAL strings 'B*' and 'b*' (parser/text.py:351), which can never equal
+# the PLY token TYPES it actually produces ('Bstar'/'bstar',
+# parser/text.py:191,193) — so those two painting operators fall through to
+# the regrouper's final "Unrecognized token type" raise (text.py:619) and
+# drop the page, while fstar/Wstar are listed correctly and work.  Pinned
+# by fixture f24_graphics_soup.
+_REGROUPER_UNRECOGNIZED = frozenset(("Bstar", "bstar"))
+
 _ARITY = {}
-for _n in ("q", "Q", "h", "S", "s", "F", "f", "fstar", "B", "Bstar", "b",
-           "bstar", "n", "W", "Wstar", "BT", "ET", "Tstar", "EMC"):
+for _n in ("q", "Q", "h", "S", "s", "F", "f", "fstar", "B", "b",
+           "n", "W", "Wstar", "BT", "ET", "Tstar", "EMC"):
     _ARITY[_n] = 0
 for _n in ("w", "J", "j", "M", "ri", "i", "gs", "CS", "cs", "G", "g", "Do",
            "Tc", "Tw", "Tz", "TL", "Tr", "Ts", "Tj", "TstarTj", "MP", "BMC"):
@@ -114,6 +124,13 @@ def tokenize_content(data: bytes) -> list[Op]:
             # reference lexer has no rule for this keyword -> lex error ->
             # page dropped (parser/text.py:229-231)
             raise ContentError("unknown content operator %r" % val)
+        if name in _REGROUPER_UNRECOGNIZED:
+            # lexed by the reference but unhandled in its regrouper (the
+            # 'B*'/'b*'-vs-'Bstar'/'bstar' membership bug, see above)
+            raise ContentError(
+                "operator %r unrecognized by regrouper (reference parity)"
+                % val
+            )
 
         if name == "TJ":
             if not stack or not isinstance(stack[-1], list):
@@ -127,6 +144,22 @@ def tokenize_content(data: bytes) -> list[Op]:
             operands = [stack[0], stack[1]]
             stack = []
         elif name in ("SC", "sc", "SCN", "scn"):
+            # quirk parity (parser/text.py:567-610): the reference's
+            # backward operand scan collects only INT/FLOAT for SC/sc and
+            # INT/FLOAT/LIT for SCN/scn — despite its own comment listing
+            # the "c1 name SC" pattern-name form — and any uncollected
+            # token (a NAME, a hexstring) then trips the skipped-token
+            # consistency check (ValueError at :610) and drops the page.
+            # Pinned differentially by fixture f24_graphics_soup page 2.
+            allowed = (
+                (int, float) if name in ("SC", "sc") else (int, float, LitStr)
+            )
+            for v in stack:
+                if not isinstance(v, allowed):
+                    raise ContentError(
+                        "operand %r not collected by %s scan "
+                        "(reference skipped-token parity)" % (v, name)
+                    )
             operands = stack
             stack = []
         else:

@@ -31,9 +31,19 @@ def test_one_and_two_arity():
 
 
 def test_six_arity_and_star_ops():
-    got = ops(b"1 0 0 1 72 720 cm 1 0 0 1 0 0 Tm f* B* W* b*")
+    got = ops(b"1 0 0 1 72 720 cm 1 0 0 1 0 0 Tm f* W*")
     assert got[0][0] == "cm" and got[0][1] == [1, 0, 0, 1, 72, 720]
-    assert [g[0] for g in got[1:]] == ["Tm", "fstar", "Bstar", "Wstar", "bstar"]
+    assert [g[0] for g in got[1:]] == ["Tm", "fstar", "Wstar"]
+
+
+@pytest.mark.parametrize("op", [b"B*", b"b*"])
+def test_bstar_regrouper_bug_parity(op):
+    """The reference's regrouper lists 'B*'/'b*' literally but its lexer
+    emits token TYPES 'Bstar'/'bstar', so these two ops always raise and
+    drop the page (parser/text.py:351,619); mirrored as ContentError and
+    pinned differentially by fixture f24_graphics_soup."""
+    with pytest.raises(ContentError):
+        tokenize_content(op)
 
 
 def test_tj_array():
@@ -129,3 +139,16 @@ def test_truncated_inline_dict_array_raises():
 def test_truncated_inline_dict_raises():
     with pytest.raises(ContentError):
         tokenize_content(b"/MC << /K 1 ")
+
+
+def test_scn_name_operand_raises_parity():
+    """scn with a pattern-name operand trips the reference's skipped-token
+    check (its scan collects only INT/FLOAT/LIT); SC/sc collect only
+    INT/FLOAT, so even a literal string raises there."""
+    with pytest.raises(ContentError):
+        tokenize_content(b"0.2 0.4 /P1 scn")
+    with pytest.raises(ContentError):
+        tokenize_content(b"(lit) 0.5 SC")
+    # LIT is collected for SCN/scn (mirroring the reference's scan)
+    got = tokenize_content(b"0.2 (x) SCN")
+    assert got[0].name == "SCN"
