@@ -575,6 +575,61 @@ def f25_graphics_survivor() -> bytes:
     return simple_doc(c, HELV)
 
 
+def f26_image_xobject() -> bytes:
+    """``Do`` on an IMAGE XObject: the reference pushes ``x.Resources``
+    unconditionally (__init__.py:454) but XObjectImage declares no
+    _Resources attr -> KeyError -> page exception AFTER the page's earlier
+    glyphs fired — so the partial text leaks into the NEXT page's buffer
+    (no 'page end' flush), joined without a newline when the y coordinate
+    matches.  Golden: one merged page string."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R 8 0 R] /Count 2 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> "
+             b"/XObject << /Im1 6 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (Before image) Tj ET "
+                         b"q 10 0 0 10 100 100 cm /Im1 Do Q "
+                         b"BT /F1 12 Tf 72 700 Td (After image) Tj ET")
+    f.add_stream(6, b"/Type /XObject /Subtype /Image /Width 2 /Height 2 "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 8",
+                 bytes([0, 64, 128, 255]))
+    f.add(8, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 9 0 R >>")
+    f.add_stream(9, b"", b"BT /F1 12 Tf 72 720 Td (Survivor) Tj ET")
+    return f.build(1)
+
+
+def f27_rotated_matrix() -> bytes:
+    """Rotated cm x rotated/scaled Tm: every glyph's y differs, so the
+    assembler emits one char per line — each newline decision is an EXACT
+    float equality on the product of two matrix chains, making this the
+    strongest differential stress on the scalarized position/advance
+    arithmetic (any ulp divergence reorders the output bytes)."""
+    c = (b"q 0.96 0.28 -0.28 0.96 10 20 cm "
+         b"BT /F1 12 Tf 0.866 0.5 -0.5 0.866 72 720 Tm (Rotated glyphs) Tj "
+         b"1.5 0 0 0.75 100 500 Tm [(Scaled) -250 (too)] TJ ET Q "
+         b"BT /F1 12 Tf 72 100 Td (Plain after) Tj ET")
+    return simple_doc(c, HELV)
+
+
+def f28_literal_edges() -> bytes:
+    """Literal-escape edge semantics + cascading mid-string page drops:
+    the reference APPENDS the control char for backslash+real-newline/tab
+    (__init__.py:697-706, no spec line-continuation), then the glyph lookup
+    for cid 10/9 raises MID-STRING -> pages 1 and 2 drop AFTER emitting
+    'AB'/'tab', and page 3 (printable octal + escaped parens) inherits both
+    partial buffers joined without newlines (same y).  Exercises the
+    partial-advance writeback on mid-string exceptions."""
+    pages = [
+        b"BT /F1 12 Tf 72 720 Td (AB\\\nCD) Tj ET",
+        b"BT /F1 12 Tf 72 720 Td (tab\\\there) Tj ET",
+        b"BT /F1 12 Tf 72 720 Td (oct\\53x \\1013 \\105nd \\( \\) mix) Tj ET",
+    ]
+    return simple_doc(b"", HELV, n_pages=3, contents_per_page=pages)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -601,6 +656,9 @@ FIXTURES = {
     "f23_tr_ts_rise": f23_tr_ts_rise,
     "f24_graphics_soup": f24_graphics_soup,
     "f25_graphics_survivor": f25_graphics_survivor,
+    "f26_image_xobject": f26_image_xobject,
+    "f27_rotated_matrix": f27_rotated_matrix,
+    "f28_literal_edges": f28_literal_edges,
 }
 
 
