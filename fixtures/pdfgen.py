@@ -630,6 +630,58 @@ def f28_literal_edges() -> bytes:
     return simple_doc(b"", HELV, n_pages=3, contents_per_page=pages)
 
 
+def f29_font_shadowing() -> bytes:
+    """/F1 defined BOTH on the page (Helvetica) and in the XObject's own
+    resources (Courier): the reference's resource scan resolves the PAGE
+    entry first even inside the Do (__init__.py:128-158 iterates the stack
+    from index 0), observable through the implied-space threshold — kern
+    -260 exceeds half of Helvetica's avg width (space) but not Courier's
+    300 (no space); kern -255 is below both.  Pins scan order AND the
+    avg-width float arithmetic at a 5-unit boundary."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(10, b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> /XObject << /Fx 6 0 R >> "
+             b">> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"/Fx Do")
+    f.add(7, b"<< /Font << /F1 10 0 R >> >>")
+    f.add_stream(
+        6,
+        b"/Type /XObject /Subtype /Form /BBox [0 0 612 792] /Resources 7 0 R",
+        b"BT /F1 12 Tf 72 700 Td [(A) -260 (B) -255 (C)] TJ ET",
+    )
+    return f.build(1)
+
+
+def f30_type1_dict_encoding() -> bytes:
+    """A STANDARD Type1 font (Helvetica) with a dict /Encoding (BaseEncoding
+    + Differences): the reference's Type1 dispatch passes the FontEncoding
+    OBJECT into MapCIDToGlyphName (fontcache.py:115-117) -> KeyError ->
+    page drop — the Differences path is reachable only for non-Type1
+    subtypes.  Page 2 then ALSO drops: page 1's resources stay leaked on
+    the stack (never popped on exception), its /F1 shadows page 2's good
+    /F1 in the page-first scan, and the broken font wins again -> golden
+    is an empty document.  Two quirks compounding."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R 8 0 R] /Count 2 >>")
+    f.add(5, b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+             b"/Differences [ 65 /bullet ] >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+             b"/Encoding 5 0 R >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 6 0 R >>")
+    f.add_stream(6, b"", b"BT /F1 12 Tf 72 720 Td (Auto dropped) Tj ET")
+    f.add(7, HELV)
+    f.add(8, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 7 0 R >> >> /Contents 9 0 R >>")
+    f.add_stream(9, b"", b"BT /F1 12 Tf 72 720 Td (Dict enc survivor) Tj ET")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -659,6 +711,8 @@ FIXTURES = {
     "f26_image_xobject": f26_image_xobject,
     "f27_rotated_matrix": f27_rotated_matrix,
     "f28_literal_edges": f28_literal_edges,
+    "f29_font_shadowing": f29_font_shadowing,
+    "f30_type1_dict_encoding": f30_type1_dict_encoding,
 }
 
 

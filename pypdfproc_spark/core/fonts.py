@@ -266,8 +266,21 @@ class FontResolver:
         # encoding-map data, so memoized ACROSS documents (Glyph instances
         # are immutable-by-convention); the per-document cache in get_glyph
         # still short-circuits repeats within a document
-        enc = font.get("Encoding")
-        encname = enc if isinstance(enc, str) else "Std"
+        enc = self.doc.resolve(font.get("Encoding"))
+        if enc is None:
+            encname = "Std"
+        elif isinstance(enc, str):
+            encname = enc
+        else:
+            # quirk parity (fontcache.py:115-117): the reference passes the
+            # FontEncoding OBJECT of a Type1 font straight into
+            # MapCIDToGlyphName, which KeyErrors on any non-name -> page
+            # drop.  A dict /Encoding on a standard Type1 font is therefore
+            # never honored (fixture f30_type1_dict_encoding).
+            raise FontError(
+                "Type1 font with non-name /Encoding %r (reference drops "
+                "the page here)" % (enc,)
+            )
         basefont = font.get("BaseFont") or ""
         key = (basefont, encname, cid)
         g = _TYPE1_GLYPH_MEMO.get(key)

@@ -106,6 +106,12 @@ def test_golden_parity_through_spark(spark):
     res, _ = P.run_pipeline(df, n_buckets=4, partitions=4)
     got = {}
     for r in res.collect():
+        if r.page_no is None:
+            # posexplode_outer emits one null row for an empty-pages
+            # document (f30: every page dropped) so the doc is still
+            # recorded as processed; GetFullText's golden is []
+            got.setdefault(r.url.split("//")[1], {})
+            continue
         got.setdefault(r.url.split("//")[1], {})[r.page_no] = r.text
     for name, pages in GOLDENS.items():
         mine = got.get(name, {})
