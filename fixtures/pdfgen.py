@@ -682,6 +682,64 @@ def f30_type1_dict_encoding() -> bytes:
     return f.build(1)
 
 
+def f31_truetype_no_widths() -> bytes:
+    """TrueType + standard BaseFont + WinAnsiEncoding but NO /Widths: the
+    glyph path demands f.Widths (fontcache.py:158-166), yet extraction
+    SUCCEEDS because the 'change font' callback's GetFontWidths call
+    synthesizes AFM widths and MEMOIZES them onto the font dict
+    (__init__.py:176-213, ``f.Widths =``) before the first glyph — an
+    order-dependent side effect both engines must share.  Includes a
+    WinAnsi high-bit char."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, b"<< /Type /Font /Subtype /TrueType /BaseFont /Helvetica "
+             b"/Encoding /WinAnsiEncoding >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"",
+                 b"BT /F1 12 Tf 72 720 Td (TrueType sans widths \xe9!) Tj ET")
+    return f.build(1)
+
+
+def f32_split_contents() -> bytes:
+    """A statement split MID-OPERANDS across a /Contents array: operands in
+    stream 1, operator in stream 2 — legal PDF; the reference joins the
+    decoded streams with a single space (__init__.py:312-325) so the
+    statement reassembles."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents [5 0 R 6 0 R] >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720")
+    f.add_stream(6, b"", b"Td (Split across streams) Tj ET")
+    return f.build(1)
+
+
+def f33_hybrid_chain() -> bytes:
+    """Hybrid incremental-update chain: a PLAINTEXT xref/trailer update
+    (overriding the content stream) whose /Prev points at the base
+    document's XREF STREAM — the parser must sniff each section's format
+    independently (parser/__init__.py:212-237) and newest-wins across the
+    mixed chain."""
+    import re as _re
+
+    base = f05_xrefstream()
+    prev_off = int(_re.search(rb"startxref\n(\d+)\n", base).group(1))
+    out = bytearray(base)
+    new5_off = len(out)
+    out += _stream_obj(
+        5, b"", b"BT /F1 12 Tf 72 720 Td (Updated via hybrid chain) Tj ET"
+    )
+    xref_off = len(out)
+    out += b"xref\n5 1\n%010d 00000 n \n" % new5_off
+    out += b"trailer << /Size 8 /Root 1 0 R /Prev %d >>\n" % prev_off
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -713,6 +771,9 @@ FIXTURES = {
     "f28_literal_edges": f28_literal_edges,
     "f29_font_shadowing": f29_font_shadowing,
     "f30_type1_dict_encoding": f30_type1_dict_encoding,
+    "f31_truetype_no_widths": f31_truetype_no_widths,
+    "f32_split_contents": f32_split_contents,
+    "f33_hybrid_chain": f33_hybrid_chain,
 }
 
 
