@@ -740,6 +740,45 @@ def f33_hybrid_chain() -> bytes:
     return bytes(out)
 
 
+def f34_tounicode_partial() -> bytes:
+    """Type0 whose ToUnicode bfchar covers only SOME cids: the covered cid
+    maps through the CMap, the uncovered one falls back PER-CID to
+    Identity (fontcache.py:425-440 KeyError path) — golden mixes both in
+    one string ('W' from the CMap, 'e' from Identity)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    tou = (b"begincmap 1 begincodespacerange <0000> <FFFF> endcodespacerange "
+           b"1 beginbfchar <0048> <0057> endbfchar endcmap")
+    f.add_stream(7, b"", tou)
+    f.add(6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X "
+             b"/W [ 72 [ 500 ] 101 [ 500 ] ] /CIDSystemInfo << >> >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+             b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+             b"/ToUnicode 7 0 R >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td <00480065> Tj ET")
+    return f.build(1)
+
+
+def f35_advp_table() -> bytes:
+    """Missing-glyph resolution via the reference's hardcoded AdvP4C4E74
+    table (fontcache.py:249-257): Differences map codes to the private
+    glyph names C0/C6, which resolve to minus-sign / plus-minus."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(5, b"<< /Type /Encoding /Differences [ 65 /C0 66 /C6 ] >>")
+    f.add(3, b"<< /Type /Font /Subtype /TrueType /BaseFont /AdvP4C4E74 "
+             b"/Encoding 5 0 R /Widths [500 500] /FirstChar 65 "
+             b"/LastChar 66 >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 6 0 R >>")
+    f.add_stream(6, b"", b"BT /F1 12 Tf 72 720 Td (AB) Tj ET")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -774,6 +813,8 @@ FIXTURES = {
     "f31_truetype_no_widths": f31_truetype_no_widths,
     "f32_split_contents": f32_split_contents,
     "f33_hybrid_chain": f33_hybrid_chain,
+    "f34_tounicode_partial": f34_tounicode_partial,
+    "f35_advp_table": f35_advp_table,
 }
 
 
