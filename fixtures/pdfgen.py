@@ -779,6 +779,40 @@ def f35_advp_table() -> bytes:
     return f.build(1)
 
 
+def f36_identity_v() -> bytes:
+    """Type0 with /Encoding /Identity-V: effectively unsupported in the
+    reference (the vertical path references ``self.f`` instead of
+    ``self.font``, fontcache.py:406,435) -> page drop -> empty golden.
+    Pins that the engine must NOT extract here (over-extraction is the
+    same parity failure class f30 caught)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X "
+             b"/W [ 72 [ 500 ] ] /CIDSystemInfo << >> >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+             b"/Encoding /Identity-V /DescendantFonts [6 0 R] >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td <0048> Tj ET")
+    return f.build(1)
+
+
+def f37_symbol_font() -> bytes:
+    """Symbol standard font under the default Std encoding map: the AFM
+    indexes glyphs by Symbol's own names (alpha, beta...), so the
+    Std-mapped name 'a' passes the unicode lookup but MISSES the widths
+    dict (fontcache.py:128 KeyError) -> page drop -> empty golden."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Symbol >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (abg) Tj ET")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -815,6 +849,8 @@ FIXTURES = {
     "f33_hybrid_chain": f33_hybrid_chain,
     "f34_tounicode_partial": f34_tounicode_partial,
     "f35_advp_table": f35_advp_table,
+    "f36_identity_v": f36_identity_v,
+    "f37_symbol_font": f37_symbol_font,
 }
 
 
