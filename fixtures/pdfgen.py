@@ -813,6 +813,48 @@ def f37_symbol_font() -> bytes:
     return f.build(1)
 
 
+def f38_gs_unsupported_key() -> bytes:
+    """``gs`` with an unsupported ExtGState key (/SMask): the reference
+    raises NotImplementedError mid-page (__init__.py:381-413) AFTER the
+    first text block emitted, so 'pre gs' leaks into the survivor page's
+    output (with a newline: different y)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R 8 0 R] /Count 2 >>")
+    f.add(3, HELV)
+    f.add(7, b"<< /Type /ExtGState /LW 1 /SMask /None >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> "
+             b"/ExtGState << /G1 7 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (pre gs) Tj ET /G1 gs "
+                         b"BT /F1 12 Tf 72 700 Td (post gs) Tj ET")
+    f.add(8, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 9 0 R >>")
+    f.add_stream(9, b"", b"BT /F1 12 Tf 72 680 Td (gs survivor) Tj ET")
+    return f.build(1)
+
+
+def f39_bfrange_array() -> bytes:
+    """ToUnicode bfrange with the ARRAY destination form: unimplemented in
+    the reference's CMap compiler (parser/__init__.py:997-999
+    NotImplementedError) -> page drop -> empty golden."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    tou = (b"begincmap 1 begincodespacerange <0000> <FFFF> endcodespacerange "
+           b"1 beginbfrange <0048> <0049> [<0057> <0058>] endbfrange endcmap")
+    f.add_stream(7, b"", tou)
+    f.add(6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X "
+             b"/W [ 72 [ 500 ] ] /CIDSystemInfo << >> >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+             b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+             b"/ToUnicode 7 0 R >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td <0048> Tj ET")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -851,6 +893,8 @@ FIXTURES = {
     "f35_advp_table": f35_advp_table,
     "f36_identity_v": f36_identity_v,
     "f37_symbol_font": f37_symbol_font,
+    "f38_gs_unsupported_key": f38_gs_unsupported_key,
+    "f39_bfrange_array": f39_bfrange_array,
 }
 
 
