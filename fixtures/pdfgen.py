@@ -855,6 +855,26 @@ def f39_bfrange_array() -> bytes:
     return f.build(1)
 
 
+def f40_alias_subset_drop() -> bytes:
+    """Subset-tagged ('ABCDEF+Helvetica') and aliased ('Arial') BaseFonts:
+    the reference looks the name up VERBATIM in its metrics manager
+    (fontmetrics.py:110-113 KeyError) -> both pages drop -> empty golden.
+    Pins that the parity path must NOT normalize font names (the engine's
+    normalize_basefont helper is an explicit beyond-parity opt-in)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R 8 0 R] /Count 2 >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+Helvetica >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (Tagged) Tj ET")
+    f.add(7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Arial >>")
+    f.add(8, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 7 0 R >> >> /Contents 9 0 R >>")
+    f.add_stream(9, b"", b"BT /F1 12 Tf 72 720 Td (Aliased) Tj ET")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -895,6 +915,7 @@ FIXTURES = {
     "f37_symbol_font": f37_symbol_font,
     "f38_gs_unsupported_key": f38_gs_unsupported_key,
     "f39_bfrange_array": f39_bfrange_array,
+    "f40_alias_subset_drop": f40_alias_subset_drop,
 }
 
 

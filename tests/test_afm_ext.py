@@ -83,8 +83,20 @@ def test_kerning_no_pairs_for_fixed_pitch():
     assert get_kerning_pairs_for_char("Courier", "A") == {}
 
 
-def test_alias_and_subset_tag_resolution():
-    assert get_width_x("ABCDEF+Times", "f") == 333  # subset tag + alias
+def test_strict_lookup_mirrors_reference():
+    """The reference looks BaseFont up VERBATIM — subset tags and aliases
+    KeyError (page drop, fixture f40); normalization is an explicit
+    beyond-parity opt-in."""
+    from pypdfproc_spark.core.afm import get_font_metrics, normalize_basefont
+
+    with pytest.raises(UnknownFontError):
+        get_font_metrics("ABCDEF+Helvetica")
+    with pytest.raises(UnknownFontError):
+        get_font_metrics("Arial")
+    assert normalize_basefont("ABCDEF+Times") == "Times-Roman"
+    assert get_font_metrics("Arial", normalize=True) is get_font_metrics(
+        "Helvetica"
+    )
 
 
 def test_unknown_font_raises():

@@ -96,9 +96,14 @@ def test_afm_helvetica():
     fm = afm.get_font_metrics("Helvetica")
     assert fm["space"][0] == 32
     assert fm["A"][1] > 0
-    # subset tags and aliases resolve
-    assert afm.get_font_metrics("ABCDEF+Helvetica") is fm
-    assert afm.get_font_metrics("Arial") is fm
+    # STRICT verbatim lookup by default (reference parity, fixture f40);
+    # tag/alias normalization only on explicit opt-in
+    with pytest.raises(afm.UnknownFontError):
+        afm.get_font_metrics("ABCDEF+Helvetica")
+    with pytest.raises(afm.UnknownFontError):
+        afm.get_font_metrics("Arial")
+    assert afm.get_font_metrics("ABCDEF+Helvetica", normalize=True) is fm
+    assert afm.get_font_metrics("Arial", normalize=True) is fm
     with pytest.raises(afm.UnknownFontError):
         afm.get_font_metrics("NoSuchFont")
 
