@@ -875,6 +875,33 @@ def f40_alias_subset_drop() -> bytes:
     return f.build(1)
 
 
+def f41_missing_glyph_fontfile2() -> bytes:
+    """Differences maps a code to a non-AGL glyph name on a TrueType font
+    whose descriptor carries only FontFile2: the missing-glyph resolver
+    unconditionally dereferences the (absent) FontFile3 stream
+    (fontcache.py:270, ``CFFTokenizer(ff.Stream)`` on None ->
+    AttributeError) -> page drop; the FontFile2 path is additionally dead
+    via the ``sefl`` typo (parser/__init__.py:880).  Page 2 shares the
+    /F1 name, so the leaked broken font drops it too -> empty golden."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R 9 0 R] /Count 2 >>")
+    f.add(5, b"<< /Type /Encoding /Differences [ 65 /myWeirdGlyph ] >>")
+    f.add_stream(8, b"", b"\x00\x01\x00\x00fakettf")
+    f.add(7, b"<< /Type /FontDescriptor /FontName /Fake /FontFile2 8 0 R >>")
+    f.add(3, b"<< /Type /Font /Subtype /TrueType /BaseFont /FakeFont "
+             b"/Encoding 5 0 R /Widths [500] /FirstChar 65 /LastChar 65 "
+             b"/FontDescriptor 7 0 R >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 6 0 R >>")
+    f.add_stream(6, b"", b"BT /F1 12 Tf 72 720 Td (A) Tj ET")
+    f.add(10, HELV)
+    f.add(9, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 10 0 R >> >> /Contents 11 0 R >>")
+    f.add_stream(11, b"", b"BT /F1 12 Tf 72 720 Td (A) Tj ET")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -916,6 +943,7 @@ FIXTURES = {
     "f38_gs_unsupported_key": f38_gs_unsupported_key,
     "f39_bfrange_array": f39_bfrange_array,
     "f40_alias_subset_drop": f40_alias_subset_drop,
+    "f41_missing_glyph_fontfile2": f41_missing_glyph_fontfile2,
 }
 
 
