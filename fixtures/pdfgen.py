@@ -902,6 +902,23 @@ def f41_missing_glyph_fontfile2() -> bytes:
     return f.build(1)
 
 
+def f42_inherited_resources() -> bytes:
+    """Spec-inheritable /Resources living on the Pages NODE instead of the
+    leaf Page: the reference never walks up the tree (GetFont pushes only
+    the page's own Resources -> None -> AttributeError, __init__.py:141)
+    -> page drop -> empty golden.  Pins that neither engine implements
+    resource inheritance."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+             b"/Resources << /Font << /F1 3 0 R >> >> >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (Inherited resources) Tj ET")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -944,6 +961,7 @@ FIXTURES = {
     "f39_bfrange_array": f39_bfrange_array,
     "f40_alias_subset_drop": f40_alias_subset_drop,
     "f41_missing_glyph_fontfile2": f41_missing_glyph_fontfile2,
+    "f42_inherited_resources": f42_inherited_resources,
 }
 
 
