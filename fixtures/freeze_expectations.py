@@ -3,8 +3,8 @@
 ``extract_pages`` / ``extract_metrics`` run the Arrow-batched extraction UDF
 — not expressible in ANSI SQL — so their oracle is a SELECT from an
 expectations parquet frozen HERE, computed by a pure-Python re-derivation of
-the pipeline semantics (latest-snapshot dedup incl. the md5 tie-break,
-magic-byte routing, core extract_document per payload, bucket =
+the pipeline semantics (latest-snapshot dedup incl. the xxhash64(html)
+tie-break, magic-byte routing, core extract_document per payload, bucket =
 pmod(xxhash64(url), n)) with NO Spark involved.  The text values themselves
 are additionally gated by the byte-identical golden suite, so the oracle is
 independent of the Spark plumbing it checks (routing, dedup, explode,
@@ -121,8 +121,14 @@ def expected_rows(sf_dir: str = SF_DIR, limit: int = LIMIT,
     # latest_snapshot: newest warc_ts per url, xxhash64(html) desc tie-break
     # (pipeline.latest_snapshot uses F.xxhash64; same function, same seed)
     best: dict[str, tuple] = {}
+    import datetime as _dt
+
     for url, ts, payload, _text, _lang in rows:
         h = xxh64(bytes(payload))
+        # None warc_ts -> sentinel matching Spark's nulls-LAST desc ordering
+        # (a null ts loses to any real ts; ties fall through to the hash)
+        if ts is None:
+            ts = _dt.datetime.min
         key = (ts, h - (1 << 64) if h >= (1 << 63) else h)
         if url not in best or key > best[url][0]:
             best[url] = (key, payload)

@@ -200,7 +200,10 @@ def spread_giants(
     shuffle), and only oversized payloads — the actual skew risk — are
     round-robin repartitioned.  At 100 TB this halves payload shuffle bytes
     vs a blanket salted repartition."""
-    is_giant = F.length("html") > big_doc_bytes
+    # coalesce: length(NULL) is NULL, which fails BOTH filters — a null
+    # payload row must stay in the normal branch (and reach the extractor's
+    # typed 'null payload' error), never silently vanish
+    is_giant = F.coalesce(F.length("html"), F.lit(0)) > big_doc_bytes
     normals = pages.filter(~is_giant)
     giants = pages.filter(is_giant).repartition(partitions)
     return normals.unionAll(giants)
@@ -330,7 +333,18 @@ def write_pages_bucketed(pages: DataFrame, table: str,
     if wh and "/" not in table:
         import shutil as _shutil
 
-        _shutil.rmtree(_os.path.join(wh, table.lower()), ignore_errors=True)
+        loc = _os.path.join(wh, table.lower())
+        # only delete what LOOKS like an orphaned Spark table directory
+        # (_SUCCESS / part files / empty) — a user-set SPARK_WAREHOUSE_DIR
+        # colliding with unrelated data must never be silently destroyed
+        if _os.path.isdir(loc):
+            entries = _os.listdir(loc)
+            looks_like_table = not entries or any(
+                e == "_SUCCESS" or e.startswith("part-") or e.startswith(".part-")
+                for e in entries
+            )
+            if looks_like_table:
+                _shutil.rmtree(loc, ignore_errors=True)
     (
         pages.write.mode("overwrite")
         .format("parquet")

@@ -251,3 +251,29 @@ def test_skew_salting_spreads_giants(spark):
         .count()
     )
     assert parts >= 4, "giant documents collapsed onto %d partitions" % parts
+
+
+def test_hostile_payloads_never_vanish(spark):
+    """Never-raise contract AND never-drop contract: every input row comes
+    back exactly once with a typed error, including NULL payloads (a null
+    length must not fail both spread_giants filters — regression r03)."""
+    import datetime
+
+    from pypdfproc_spark.spark import pipeline as P
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("u1", ts, b"%PDF-1.4 truncated garbage", None, "en"),
+        ("u2", ts, b"", None, "en"),
+        ("u3", ts, b"<<<<[[[[((((", None, "en"),
+        ("u4", None, b"%PDF-", None, "en"),
+        ("u5", ts, None, None, "en"),
+    ]
+    pages = spark.createDataFrame(rows, P.PAGES_SCHEMA)
+    res, _ = P.run_pipeline(pages, n_buckets=8, partitions=4)
+    out = res.collect()
+    assert {r.url for r in out} == {"u1", "u2", "u3", "u4", "u5"}
+    by_url = {r.url: r for r in out}
+    assert by_url["u5"].parser == "none"
+    assert by_url["u5"].error == "null payload"
+    assert by_url["u1"].error and by_url["u1"].parser == "pdf"
