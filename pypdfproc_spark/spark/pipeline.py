@@ -47,7 +47,12 @@ PAGES_SCHEMA = T.StructType(
 
 _EXTRACT_FIELDS = [
     T.StructField("pages", T.ArrayType(T.StringType())),
-    T.StructField("spans_json", T.StringType()),
+    # per page: list of (page, start, end, x, y) span records, kept as a
+    # NATIVE nested array (Arrow list<list<list<double>>>): no driver-side
+    # json.dumps and no JVM from_json re-parse on the hot path
+    T.StructField(
+        "spans_raw", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+    ),
     T.StructField("parser", T.StringType()),
     T.StructField("n_pages", T.IntegerType()),
     T.StructField("pages_dropped", T.IntegerType()),
@@ -97,7 +102,6 @@ def _make_extract_batch(pkg_root: str, columns: list):
     real clusters ship the package via --py-files."""
 
     def _extract_batch(html):
-        import json as _json
         import sys as _sys
 
         import pandas as _pd
@@ -112,7 +116,8 @@ def _make_extract_batch(pkg_root: str, columns: list):
             rows.append(
                 (
                     r.pages,
-                    _json.dumps(r.spans),
+                    # tuples -> lists; Arrow casts the int fields to double
+                    [[list(s) for s in page] for page in r.spans],
                     r.parser,
                     r.n_pages,
                     r.pages_dropped,
@@ -230,9 +235,8 @@ def results(extracted: DataFrame) -> DataFrame:
         F.col("doc.parser").alias("parser"),
         F.col("doc.error").alias("error"),
         F.col("doc.pages").alias("pages"),
-        F.col("doc.spans_json").alias("spans_json"),
+        F.col("doc.spans_raw").alias("spans_all"),
     )
-    spans_type = RESULTS_SCHEMA["spans"].dataType
 
     exploded = ex.select(
         "url",
@@ -240,10 +244,7 @@ def results(extracted: DataFrame) -> DataFrame:
         "parser",
         "error",
         F.posexplode_outer("pages").alias("page_no", "text"),
-        F.from_json(
-            "spans_json",
-            T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
-        ).alias("spans_all"),
+        "spans_all",
     )
     span_struct = F.transform(
         F.element_at("spans_all", F.col("page_no") + 1),

@@ -277,3 +277,35 @@ def test_hostile_payloads_never_vanish(spark):
     assert by_url["u5"].parser == "none"
     assert by_url["u5"].error == "null payload"
     assert by_url["u1"].error and by_url["u1"].parser == "pdf"
+
+
+def test_spans_native_roundtrip(spark):
+    """Span structs coming out of the pipeline (native nested arrays, no
+    JSON round-trip) must equal the core extractor's span tuples."""
+    import datetime
+
+    from pypdfproc_spark.core.extract import extract_document
+    from pypdfproc_spark.spark import pipeline as P
+
+    fixtures = build_all()
+    rows = [
+        ("fixture://%s" % name, datetime.datetime(2024, 1, 1), data, None, "en")
+        for name, data in fixtures.items()
+    ]
+    df = spark.createDataFrame(rows, P.PAGES_SCHEMA)
+    res, _ = P.run_pipeline(df, n_buckets=4, partitions=4)
+    got = {}
+    for r in res.collect():
+        if r.page_no is not None:
+            got[(r.url.split("//")[1], r.page_no)] = [
+                (s.start, s.end, s.x, s.y) for s in (r.spans or [])
+            ]
+    checked = 0
+    for name, data in fixtures.items():
+        core = extract_document(data)
+        for page_no, page_spans in enumerate(core.spans):
+            want = [(int(s[1]), int(s[2]), float(s[3]), float(s[4]))
+                    for s in page_spans]
+            assert got.get((name, page_no), []) == want, (name, page_no)
+            checked += len(want)
+    assert checked > 50, "span coverage too thin: %d" % checked
