@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": textops.dedup_simhash,
         "dedup_simhash_pairs": textops.dedup_simhash_pairs,
         "dedup_ngram_jaccard": textops.dedup_ngram_jaccard,
+        "dedup_verified": textops.dedup_verified,
         "doc_fingerprint": textops.doc_fingerprint,
         # text analysis
         "lang_id": textops.lang_id,
@@ -307,6 +308,51 @@ def oracle_sql() -> dict[str, str]:
         "list_transform(generate_series(1, len(toks) - 2), "
         "k -> array_to_string(list_slice(toks, k, k + 2), ' '))"
     )
+    # LSH candidates -> exact Jaccard verification (the flagship dedup):
+    # same minhash/banding CTE chain as dedup_minhash_lsh, then shingles
+    # restricted to candidate members and intersections to candidate pairs
+    sql["dedup_verified"] = f"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+        ), sigs AS (
+          SELECT doc_id, {_sig} FROM toks GROUP BY doc_id
+        ), bands0 AS ({_bands}),
+        bands AS (
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS _n
+            FROM bands0) WHERE _n <= 50
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ),
+        ids AS (SELECT doc_a AS doc_id FROM cand
+                UNION SELECT doc_b AS doc_id FROM cand),
+        d AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM ids)
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest({_sh}) AS sh FROM d WHERE len(toks) >= 3)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2
+    """
     sql["dedup_ngram_jaccard"] = f"""
         WITH d AS (
           SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 150

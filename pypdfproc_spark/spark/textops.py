@@ -245,10 +245,57 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def dedup_verified(spark, sf_dir, threshold: float = 0.2) -> DataFrame:
+    """The FLAGSHIP near-dup dedup: MinHash-LSH candidate generation
+    composed with exact 3-gram Jaccard verification.
+
+    Stage 1 (dedup_minhash_lsh): banded, occupancy-capped equi-join —
+    candidate volume is bounded per bucket regardless of corpus size.
+    Stage 2 (this function): exact Jaccard computed ONLY on candidate
+    pairs — shingles are left-semi-joined to docs that appear in some
+    candidate, the intersection count is cand ⋈ shingles(doc_a) ⋈
+    shingles(doc_b, same shingle), all equi-joins.  No stage is quadratic
+    in the corpus; the verifier touches exactly the LSH survivors, which
+    is the composition a 100 TB dedup run needs (candidate recall from
+    LSH, precision from exact Jaccard)."""
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    docs = load_documents(spark, sf_dir)
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles(docs.join(ids, "doc_id", "left_semi"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def dedup_ngram_jaccard(spark, sf_dir, max_doc_id: int = 150,
                         threshold: float = 0.2) -> DataFrame:
-    """Exact 3-gram Jaccard over a bounded candidate subset (the exact
-    verifier that sits downstream of the MinHash candidate generator)."""
+    """Exact 3-gram Jaccard over a doc_id-bounded subset — a DEMO-scale
+    exhaustive verifier kept for its deterministic oracle; the corpus-scale
+    composition (LSH candidates -> exact Jaccard) is ``dedup_verified``."""
     docs = load_documents(spark, sf_dir).filter(F.col("doc_id") < max_doc_id)
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
