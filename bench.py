@@ -85,7 +85,7 @@ def run_extraction(spark, pages_path: str) -> tuple[float, int, int]:
     df = P.latest_snapshot(pages)
     df = P.route(df)
     df = P.with_bucket(df, 64)
-    df = P.spread_giants(df, int(CPUS))
+    df = P.salted_repartition(df, int(CPUS))
     obs = Observation("extract_metrics")
     ex = P.extract(df).observe(
         obs,

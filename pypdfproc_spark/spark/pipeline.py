@@ -198,13 +198,17 @@ def salted_repartition(
 def spread_giants(
     pages: DataFrame, partitions: int = 32, big_doc_bytes: int = 1 << 20,
 ) -> DataFrame:
-    """Skew handling WITHOUT re-shuffling the whole payload.
+    """Skew handling WITHOUT re-shuffling the whole payload (kept as an
+    alternative; NOT the default on any path since r03).
 
-    Used when the upstream stage (the dedup window) already hash-distributed
-    rows by url: the normal-size majority keeps that partitioning (zero
-    shuffle), and only oversized payloads — the actual skew risk — are
-    round-robin repartitioned.  At 100 TB this halves payload shuffle bytes
-    vs a blanket salted repartition."""
+    The idea: the normal-size majority keeps its upstream partitioning and
+    only oversized payloads move.  The catch, measured in
+    tools/ab_extract.py: the union of two filters recomputes the ENTIRE
+    upstream plan per branch (2 scans, 2 window sorts, no ReusedExchange),
+    so it loses to one salted shuffle on unbucketed inputs and to no
+    redistribution at all on bucketed layouts.  Only worth it when the
+    upstream is a cheap re-scannable source AND a second shuffle is
+    unaffordable."""
     # coalesce: length(NULL) is NULL, which fails BOTH filters — a null
     # payload row must stay in the normal branch (and reach the extractor's
     # typed 'null payload' error), never silently vanish
@@ -290,15 +294,20 @@ def run_pipeline(
     partitions: int = 32,
     dedup: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """Full pipeline; returns (results_df, metrics_df)."""
+    """Full pipeline; returns (results_df, metrics_df).
+
+    Skew policy (measured, tools/ab_extract.py r03): the unbucketed path
+    uses salted_repartition — one explicit payload shuffle that both
+    rebalances giant documents and evens task sizes before the UDF
+    (medians at repl=10: salted 4.05 s < direct 4.47 s < spread_giants
+    4.60 s; the union-of-filters spread recomputes scan+sort+window per
+    branch with no exchange reuse, so it loses both locally and at scale
+    on an unbucketed input)."""
     if dedup:
-        # the window dedup already hash-distributes by url; only giants
-        # need redistribution afterwards
         df = with_bucket(route(latest_snapshot(pages)), n_buckets)
-        df = spread_giants(df, partitions)
     else:
         df = with_bucket(route(pages), n_buckets)
-        df = salted_repartition(df, partitions)
+    df = salted_repartition(df, partitions)
     ex = extract(df)
     # extraction runs once; both outputs read the exploded/aggregated views
     return results(ex), metrics(ex)
@@ -362,10 +371,19 @@ def run_pipeline_bucketed(
     partitions: int = 32,
 ) -> tuple[DataFrame, DataFrame]:
     """run_pipeline over a url-bucketed pages table: identical semantics,
-    but the dedup window (and everything downstream of it, giants aside)
-    runs without shuffling payloads."""
+    with ZERO payload exchange end-to-end — the bucketed scan satisfies
+    the dedup window's clustering, and no redistribution follows (plan:
+    Scan -> Sort -> Window -> UDF -> explode, no Exchange anywhere).
+
+    Giant-document skew on this path is handled by the LAYOUT, not a
+    shuffle: url-hash bucketing spreads giants across the n_buckets scan
+    partitions, and at corpus scale the bucket count is sized so one
+    bucket's payload fits a task (Iceberg bucket(N, url) with larger N).
+    Measured (tools/ab_extract.py r03, repl=10 medians): direct 3.31 s <
+    spread_giants 4.36 s (union recomputes the scan+sort+window per
+    branch) < salted 5.13 s (a full shuffle forfeits the zero-Exchange
+    win)."""
     df = with_bucket(route(latest_snapshot(spark.table(table))), n_buckets)
-    df = spread_giants(df, partitions)
     ex = extract(df)
     return results(ex), metrics(ex)
 
@@ -415,7 +433,7 @@ def run_resumable(
     todo = resume_filter(df, spark, checkpoint_path)
     if todo.isEmpty():
         return
-    todo = spread_giants(todo, partitions)
+    todo = salted_repartition(todo, partitions)
     ex = extract(todo)
     # materialize extraction once for both sinks
     ex = ex.persist()

@@ -1,0 +1,186 @@
+"""Round-3 differential probes: run the REFERENCE on candidate fixtures
+FIRST (the round-2 method) and print what it actually does.
+
+Usage: python tools/probe_r3.py [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools", "ply_shim"))
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, REPO)
+
+from fixtures.pdfgen import PdfFile, simple_doc, HELV  # noqa: E402
+
+
+def p_inline_image() -> bytes:
+    """BI/ID/EI inline image between two text runs."""
+    c = (b"BT /F1 12 Tf 72 720 Td (Before image) Tj ET\n"
+         b"BI /W 2 /H 2 /CS /G /BPC 8 ID \x00\x41\x42\xff EI\n"
+         b"BT /F1 12 Tf 72 700 Td (After image) Tj ET")
+    return simple_doc(c, HELV)
+
+
+def p_inline_image_page2() -> bytes:
+    """Page 1 has the inline image, page 2 is clean (leak check)."""
+    c1 = (b"BT /F1 12 Tf 72 720 Td (Partial one) Tj ET\n"
+          b"BI /W 1 /H 1 /CS /G /BPC 8 ID \x41 EI")
+    c2 = b"BT /F1 12 Tf 72 720 Td (Clean page) Tj ET"
+    return simple_doc(None, HELV, n_pages=2, contents_per_page=[c1, c2])
+
+
+def _type0_doc(cmap_payload: bytes, text_hex: bytes = b"<0041>") -> bytes:
+    """Type0/Identity-H font with a ToUnicode CMap built from payload."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type0 /BaseFont /Test-H "
+             b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+             b"/ToUnicode 7 0 R >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add(5, _stream_body(b"BT /F1 12 Tf 72 720 Td " + text_hex + b" Tj ET"))
+    f.add(6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Test "
+             b"/CIDSystemInfo << /Registry (T) /Ordering (T) /Supplement 0 >> "
+             b"/W [ 0 [ 500 500 500 500 500 500 500 500 500 500 500 500 500 "
+             b"500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 "
+             b"500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 "
+             b"500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 "
+             b"500 500 500 500 500 500 500 500 ] ] >>")
+    f.add_stream(7, b"", cmap_payload)
+    return f.build(1)
+
+
+def _stream_body(data: bytes) -> bytes:
+    return (b"<< /Length %d >>\nstream\n" % len(data)) + data + b"\nendstream"
+
+
+# NB: _stream_body used via add() needs the obj wrapper; use add_stream-like
+def _fix_stream(f: PdfFile, oid: int, data: bytes) -> None:
+    f.add_stream(oid, b"", data)
+
+
+CMAP_TWO_BFCHAR = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+1 beginbfchar <0041> <0058> endbfchar
+1 beginbfchar <0042> <0059> endbfchar
+endcmap CMapName currentdict /CMap defineresource pop end end"""
+
+CMAP_UNTERMINATED = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+1 beginbfchar <0041> <0058>
+endcmap CMapName currentdict /CMap defineresource pop end end"""
+
+CMAP_ODD_BFCHAR = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+2 beginbfchar <0041> <0058> <0042> endbfchar
+endcmap CMapName currentdict /CMap defineresource pop end end"""
+
+CMAP_MULTI_CODESPACE = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+2 begincodespacerange <00> <80> <8140> <9FFC> endcodespacerange
+1 begincodespacerange <A0> <DF> endcodespacerange
+1 beginbfchar <0041> <0058> endbfchar
+endcmap CMapName currentdict /CMap defineresource pop end end"""
+
+
+def p_cmap_two_bfchar() -> bytes:
+    # <0041> Tj then <0042> Tj: first bfchar section maps 0x41 -> X;
+    # does the second section (0x42 -> Y) apply, or Identity fallback?
+    return _type0_doc(CMAP_TWO_BFCHAR, b"<00410042>")
+
+
+def p_cmap_unterminated() -> bytes:
+    return _type0_doc(CMAP_UNTERMINATED, b"<0041>")
+
+
+def p_cmap_odd_bfchar() -> bytes:
+    return _type0_doc(CMAP_ODD_BFCHAR, b"<00410042>")
+
+
+def p_cmap_multi_codespace() -> bytes:
+    return _type0_doc(CMAP_MULTI_CODESPACE, b"<0041>")
+
+
+def p_type3() -> bytes:
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type3 /Name /T3 "
+             b"/FontBBox [0 0 10 10] /FontMatrix [0.001 0 0 0.001 0 0] "
+             b"/CharProcs << /a65 6 0 R >> "
+             b"/Encoding << /Type /Encoding /Differences [65 /a65] >> "
+             b"/FirstChar 65 /LastChar 65 /Widths [500] >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (A) Tj ET "
+                         b"BT /F1 12 Tf 72 700 Td (AA) Tj ET")
+    f.add_stream(6, b"", b"500 0 d0 0 0 10 10 re f")
+    return f.build(1)
+
+
+def p_type3_page2() -> bytes:
+    """Type3 on page 1 only; clean Helvetica page 2 (leak/drop scope)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R 8 0 R] /Count 2 >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type3 /Name /T3 "
+             b"/FontBBox [0 0 10 10] /FontMatrix [0.001 0 0 0.001 0 0] "
+             b"/CharProcs << /a65 6 0 R >> "
+             b"/Encoding << /Type /Encoding /Differences [65 /a65] >> "
+             b"/FirstChar 65 /LastChar 65 /Widths [500] >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (Type3 text) Tj ET")
+    f.add_stream(6, b"", b"500 0 d0")
+    f.add(7, HELV)
+    f.add(8, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F2 7 0 R >> >> /Contents 9 0 R >>")
+    f.add_stream(9, b"", b"BT /F2 12 Tf 72 720 Td (Clean two) Tj ET")
+    return f.build(1)
+
+
+PROBES = {
+    "inline_image": p_inline_image,
+    "inline_image_page2": p_inline_image_page2,
+    "cmap_two_bfchar": p_cmap_two_bfchar,
+    "cmap_unterminated": p_cmap_unterminated,
+    "cmap_odd_bfchar": p_cmap_odd_bfchar,
+    "cmap_multi_codespace": p_cmap_multi_codespace,
+    "type3": p_type3,
+    "type3_page2": p_type3_page2,
+}
+
+
+def main() -> None:
+    import pypdfproc  # reference via shim
+
+    names = sys.argv[1:] or list(PROBES)
+    tmp = tempfile.mkdtemp(prefix="probe_r3_")
+    for name in names:
+        data = PROBES[name]()
+        p = os.path.join(tmp, name + ".pdf")
+        with open(p, "wb") as fh:
+            fh.write(data)
+        print("=== %s" % name)
+        try:
+            doc = pypdfproc.PDF(p)
+            out = doc.GetFullText()
+            print("    OK pages=%r" % (out,))
+        except Exception as e:
+            print("    DOC-RAISE %s: %s" % (type(e).__name__, e))
+            tb = traceback.format_exc().strip().splitlines()
+            print("    " + "\n    ".join(tb[-4:]))
+
+
+if __name__ == "__main__":
+    main()
