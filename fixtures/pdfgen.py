@@ -919,6 +919,118 @@ def f42_inherited_resources() -> bytes:
     return f.build(1)
 
 
+def _type0_cmap_doc(cmap_payload: bytes, text_hex: bytes) -> bytes:
+    """Type0/Identity-H font whose ToUnicode CMap is ``cmap_payload``;
+    descendant W covers cid 0..255 (range form) so CMap quirks are probed
+    in isolation from the width map."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type0 /BaseFont /Test-H "
+             b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+             b"/ToUnicode 7 0 R >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td " + text_hex + b" Tj ET")
+    f.add(6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Test "
+             b"/CIDSystemInfo << /Registry (T) /Ordering (T) /Supplement 0 >> "
+             b"/W [ 0 255 500 ] >>")
+    f.add_stream(7, b"", cmap_payload)
+    return f.build(1)
+
+
+_CMAP_SCAFFOLD_TOP = (b"/CIDInit /ProcSet findresource begin\n"
+                      b"12 dict begin begincmap\n"
+                      b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n")
+_CMAP_SCAFFOLD_END = (b"\nendcmap CMapName currentdict /CMap defineresource "
+                      b"pop end end")
+
+
+def f43_inline_image() -> bytes:
+    """BI/ID/EI inline image: the reference's content lexer has NO rule for
+    'I' ('BI' lexes as token B then t_error raises on 'I',
+    parser/text.py:229-231) -> tokenization fails BEFORE any op runs ->
+    page 1 drops with no partial leak; clean page 2 still extracts."""
+    c1 = (b"BT /F1 12 Tf 72 720 Td (Partial one) Tj ET\n"
+          b"BI /W 1 /H 1 /CS /G /BPC 8 ID \x41 EI")
+    c2 = b"BT /F1 12 Tf 72 720 Td (Clean page) Tj ET"
+    return simple_doc(None, HELV, n_pages=2, contents_per_page=[c1, c2])
+
+
+def f44_cmap_second_bfchar_ignored() -> bytes:
+    """TWO beginbfchar sections: the reference's bfchar loop breaks after
+    the FIRST endbfchar (parser/__init__.py:965), so section 2's
+    <0042>-><0059> never applies; cid 0x42 falls back per-CID to
+    Identity-H ('B', the f34-pinned fallback).  Golden: '\\nXB', not
+    '\\nXY'."""
+    cm = (_CMAP_SCAFFOLD_TOP
+          + b"1 beginbfchar <0041> <0058> endbfchar\n"
+          + b"1 beginbfchar <0042> <0059> endbfchar"
+          + _CMAP_SCAFFOLD_END)
+    return _type0_cmap_doc(cm, b"<00410042>")
+
+
+def f45_cmap_unterminated_bfchar() -> bytes:
+    """beginbfchar with no endbfchar: the reference's section loop raises
+    NotImplementedError('Unrecognized token') on the next keyword token
+    (endcmap) because only CODEs are legal inside an open section
+    (parser/__init__.py:967-969) -> page drop."""
+    cm = (_CMAP_SCAFFOLD_TOP + b"1 beginbfchar <0041> <0058>"
+          + _CMAP_SCAFFOLD_END)
+    return _type0_cmap_doc(cm, b"<0041>")
+
+
+def f46_cmap_odd_bfchar() -> bytes:
+    """Odd CODE count in a bfchar section: the reference pairs codes with
+    codes[i+1] and IndexErrors on the dangler (parser/__init__.py:961-963)
+    -> page drop (silently mapping the complete pairs would extract text
+    here — pinned divergence risk)."""
+    cm = (_CMAP_SCAFFOLD_TOP
+          + b"2 beginbfchar <0041> <0058> <0042> endbfchar"
+          + _CMAP_SCAFFOLD_END)
+    return _type0_cmap_doc(cm, b"<00410042>")
+
+
+def f47_cmap_multi_codespace() -> bytes:
+    """Multiple/multi-entry codespacerange blocks: BuildMapper consumes
+    ONLY bfchar/bfrange/cidrange sections (parser/__init__.py:943-1024) —
+    codespace ranges are scaffolding to it, so mixed 1-/2-byte codespace
+    declarations change nothing and the bfchar mapping applies."""
+    cm = (b"/CIDInit /ProcSet findresource begin\n"
+          b"12 dict begin begincmap\n"
+          b"2 begincodespacerange <00> <80> <8140> <9FFC> endcodespacerange\n"
+          b"1 begincodespacerange <A0> <DF> endcodespacerange\n"
+          b"1 beginbfchar <0041> <0058> endbfchar"
+          + _CMAP_SCAFFOLD_END)
+    return _type0_cmap_doc(cm, b"<0041>")
+
+
+def f48_type3_cascade() -> bytes:
+    """Type3 font: GetFontWidths has no branch for it and raises
+    NotImplementedError (__init__.py:229-230) -> page 1 drops AND leaks
+    its resources; page 2's /F2 lookup then scans the leaked page-1
+    resources first, misses, and dies in the ValueError's own '%d' %
+    Page formatting bug (__init__.py:146 TypeError) -> page 2 drops too.
+    Golden: no pages at all from a 2-page document."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R 8 0 R] /Count 2 >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type3 /Name /T3 "
+             b"/FontBBox [0 0 10 10] /FontMatrix [0.001 0 0 0.001 0 0] "
+             b"/CharProcs << /a65 6 0 R >> "
+             b"/Encoding << /Type /Encoding /Differences [65 /a65] >> "
+             b"/FirstChar 65 /LastChar 65 /Widths [500] >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (Type3 text) Tj ET")
+    f.add_stream(6, b"", b"500 0 d0")
+    f.add(7, HELV)
+    f.add(8, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F2 7 0 R >> >> /Contents 9 0 R >>")
+    f.add_stream(9, b"", b"BT /F2 12 Tf 72 720 Td (Clean two) Tj ET")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -962,6 +1074,12 @@ FIXTURES = {
     "f40_alias_subset_drop": f40_alias_subset_drop,
     "f41_missing_glyph_fontfile2": f41_missing_glyph_fontfile2,
     "f42_inherited_resources": f42_inherited_resources,
+    "f43_inline_image": f43_inline_image,
+    "f44_cmap_second_bfchar_ignored": f44_cmap_second_bfchar_ignored,
+    "f45_cmap_unterminated_bfchar": f45_cmap_unterminated_bfchar,
+    "f46_cmap_odd_bfchar": f46_cmap_odd_bfchar,
+    "f47_cmap_multi_codespace": f47_cmap_multi_codespace,
+    "f48_type3_cascade": f48_type3_cascade,
 }
 
 

@@ -99,7 +99,16 @@ def compile_cmap(data: bytes):
     mapdat: dict[int, str] = {}
     rangedat: dict[tuple[int, int], int] = {}
 
-    def _section(begin: str, end: str):
+    def _section(begin: str, end: str, allowed: tuple):
+        """Tokens of the FIRST begin..end section (reference parity,
+        parser/__init__.py:952-1024: each loop breaks on its first end
+        marker, so later same-kind sections are silently ignored —
+        pinned by f44).  Inside an open section any token kind outside
+        ``allowed`` raises (reference: NotImplementedError 'Unrecognized
+        token' at :969/:998/:1023 — an UNTERMINATED section therefore
+        raises on the next keyword, e.g. endcmap; pinned by f45).  A
+        section still open when tokens run out maps nothing (the
+        reference builds its map only in the end-marker branch)."""
         items: list[tuple[str, object]] = []
         on = False
         for kind, val in toks:
@@ -109,35 +118,52 @@ def compile_cmap(data: bytes):
             if on and (kind, val) == ("kw", end):
                 return items
             if on:
+                if kind == "arr<" and begin == "beginbfrange":
+                    # reference: :996-997 explicit array-form raise (f39)
+                    raise FontError("bfrange array form not supported")
+                if kind not in allowed:
+                    raise FontError(
+                        "unrecognized %s token in %s section" % (kind, begin)
+                    )
                 items.append((kind, val))
-        return items if on else []
+        return []
 
-    # bfchar: code pairs (reference: :952-971)
-    codes = [v for k, v in _section("beginbfchar", "endbfchar") if k == "code"]
-    for i in range(0, len(codes) - 1, 2):
+    # bfchar: code pairs; an odd code count IndexErrors in the reference
+    # (:961-963 codes[i+1]) -> page drop (pinned by f46)
+    codes = [v for _k, v in _section("beginbfchar", "endbfchar", ("code",))]
+    if len(codes) % 2:
+        raise FontError("dangling bfchar code")
+    for i in range(0, len(codes), 2):
         mapdat[codes[i]] = chr(codes[i + 1])
 
-    # bfrange: code triples; array form unsupported (reference: :973-999)
-    bfr = _section("beginbfrange", "endbfrange")
-    if any(k == "arr<" for k, _ in bfr):
-        raise FontError("bfrange array form not supported")
-    codes = [v for k, v in bfr if k == "code"]
-    for i in range(0, len(codes) - 2, 3):
+    # bfrange: code triples; partial triples IndexError in the reference
+    # (:983-989)
+    codes = [v for _k, v in _section("beginbfrange", "endbfrange", ("code",))]
+    if len(codes) % 3:
+        raise FontError("dangling bfrange code")
+    for i in range(0, len(codes), 3):
         s, e, off = codes[i], codes[i + 1], codes[i + 2]
         for k in range(s, e + 1):
             mapdat[k] = chr(off + (k - s))
 
-    # cidrange: CODE CODE INT (reference: :1001-1024)
-    items = _section("begincidrange", "endcidrange")
-    stack: list[int] = []
+    # cidrange: CODE CODE INT triples via the reference's pop-two-on-INT
+    # stack (:1013-1020); an INT with <2 stacked entries IndexErrors there,
+    # and a leftover non-triple TypeErrors at :1010 (r[0] on an int)
+    items = _section("begincidrange", "endcidrange", ("code", "int"))
+    stack: list = []
     for kind, val in items:
         if kind == "code":
             stack.append(val)
-        elif kind == "int":
-            if len(stack) >= 2:
-                e = stack.pop()
-                s = stack.pop()
-                rangedat[(s, e)] = val
+        else:  # int
+            if len(stack) < 2:
+                raise FontError("cidrange value without a code pair")
+            e = stack.pop()
+            s = stack.pop()
+            stack.append((s, e, val))
+    for r in stack:
+        if not isinstance(r, tuple):
+            raise FontError("dangling cidrange code")
+        rangedat[(r[0], r[1])] = r[2]
 
     def mapper(c):
         cc = c if isinstance(c, int) else ord(c)

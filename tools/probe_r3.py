@@ -48,11 +48,7 @@ def _type0_doc(cmap_payload: bytes, text_hex: bytes = b"<0041>") -> bytes:
     f.add(5, _stream_body(b"BT /F1 12 Tf 72 720 Td " + text_hex + b" Tj ET"))
     f.add(6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Test "
              b"/CIDSystemInfo << /Registry (T) /Ordering (T) /Supplement 0 >> "
-             b"/W [ 0 [ 500 500 500 500 500 500 500 500 500 500 500 500 500 "
-             b"500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 "
-             b"500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 "
-             b"500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 "
-             b"500 500 500 500 500 500 500 500 ] ] >>")
+             b"/W [ 0 255 500 ] >>")
     f.add_stream(7, b"", cmap_payload)
     return f.build(1)
 
