@@ -466,25 +466,45 @@ def oracle_sql() -> dict[str, str]:
             " * sqrt(list_dot_product(%s, %s))), 4)" % (a, b, a, a, b, b)
         )
 
-    sql["ann_ivf_topk"] = f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        cents AS (SELECT vec_id - 5 AS cent_id, v AS cv FROM e
-                  WHERE vec_id >= 5 AND vec_id < 21),
-        cands AS (SELECT vec_id AS neighbor_id, v FROM e WHERE vec_id >= 5),
-        assign AS (
+    # k-means-trained codebook (2 distributed Lloyd iterations, seed =
+    # first 16 candidate vectors, coordinates rounded to 4 decimals per
+    # update — the exact twin of similarity.ivf_train_centroids)
+    _avg_list = "[" + ", ".join(
+        "round(avg(v[%d]), 4)" % (i + 1) for i in range(64)
+    ) + "]"
+
+    def _ivf_assign(cents: str) -> str:
+        return f"""(
           SELECT neighbor_id, v, cent_id FROM (
             SELECT *, row_number() OVER (
               PARTITION BY neighbor_id ORDER BY ccos DESC, cent_id ASC) AS rn
             FROM (SELECT neighbor_id, v, cent_id, {_vcos('v', 'cv')} AS ccos
-                  FROM cands CROSS JOIN cents)) WHERE rn = 1
-        ),
+                  FROM cands CROSS JOIN {cents})) WHERE rn = 1)"""
+
+    _lloyd = ""
+    for t in range(2):
+        _lloyd += f"""
+        asg{t} AS {_ivf_assign('cents%d' % t)},
+        upd{t} AS (SELECT cent_id, {_avg_list} AS ncv
+                   FROM asg{t} GROUP BY cent_id),
+        cents{t + 1} AS (
+          SELECT c.cent_id, coalesce(u.ncv, c.cv) AS cv
+          FROM cents{t} c LEFT JOIN upd{t} u USING (cent_id)),"""
+
+    sql["ann_ivf_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents0 AS (SELECT vec_id - 5 AS cent_id, v AS cv FROM e
+                   WHERE vec_id >= 5 AND vec_id < 21),
+        cands AS (SELECT vec_id AS neighbor_id, v FROM e WHERE vec_id >= 5),
+        {_lloyd}
+        assign AS {_ivf_assign('cents2')},
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
         probes AS (
           SELECT query_id, qv, cent_id FROM (
             SELECT *, row_number() OVER (
               PARTITION BY query_id ORDER BY qcos DESC, cent_id ASC) AS rn
             FROM (SELECT query_id, qv, cent_id, {_vcos('qv', 'cv')} AS qcos
-                  FROM q CROSS JOIN cents)) WHERE rn <= 4
+                  FROM q CROSS JOIN cents2)) WHERE rn <= 4
         ),
         s AS (SELECT query_id, neighbor_id, {_vcos('qv', 'v')} AS cosine
               FROM probes JOIN assign USING (cent_id))

@@ -230,16 +230,88 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
     )
 
 
+EMB_DIM = 64  # embeddings table vector width
+
+
+def ivf_train_centroids(emb: DataFrame, n_queries: int = 5,
+                        n_cells: int = 16, iters: int = 2,
+                        dim: int = EMB_DIM) -> DataFrame:
+    """Distributed Lloyd k-means (cosine) for the IVF codebook.
+
+    Expressed entirely as DataFrame operations: per iteration one
+    broadcast-join assignment (max_by collapses the candidate x centroid
+    expansion map-side — same shape as the IVF probe assignment) and one
+    hash-aggregate centroid update (``dim`` per-coordinate AVGs, partial
+    aggregation free from Catalyst).  Deterministic: seeded from the
+    first ``n_cells`` candidate vectors, ties broken by lowest cent_id,
+    and every updated coordinate is rounded to 4 decimals so the DuckDB
+    oracle twin (same seed, same iterations) stays value-identical
+    across engines.  A cell that loses all members keeps its previous
+    centroid (left-join coalesce).
+
+    At corpus scale this is exactly how an IVF codebook trains on-cluster
+    (a handful of passes over — in practice a sample of — the vectors);
+    the expensive stage is the broadcast assignment scan, which is
+    embarrassingly parallel with one narrow row per vector shuffled."""
+    emb = emb.select("vec_id", "v", "vn")
+    cents = emb.filter(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_cells)
+    ).select(
+        (F.col("vec_id") - n_queries).alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("vn").alias("cn"),
+    )
+    cands = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), "v", "vn"
+    )
+    for _ in range(iters):
+        ccos = F.round(
+            cosine_prenormed(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")),
+            4,
+        )
+        assign = (
+            cands.join(F.broadcast(cents))
+            .select("neighbor_id", "v", "cent_id", ccos.alias("ccos"))
+            .groupBy("neighbor_id")
+            .agg(
+                F.max_by(
+                    "cent_id", F.struct(F.col("ccos"), -F.col("cent_id"))
+                ).alias("cent_id"),
+                F.first("v").alias("v"),
+            )
+        )
+        upd = assign.groupBy("cent_id").agg(
+            *[
+                F.round(F.avg(F.element_at("v", i + 1)), 4).alias("c%d" % i)
+                for i in range(dim)
+            ]
+        )
+        new_cv = F.array(*[F.col("c%d" % i) for i in range(dim)])
+        cents = (
+            cents.select("cent_id", "cv")
+            .join(upd, "cent_id", "left")
+            .select(
+                "cent_id",
+                F.when(F.col("c0").isNull(), F.col("cv"))
+                .otherwise(new_cv)
+                .alias("cv"),
+            )
+            .withColumn("cn", _norm(F.col("cv")))
+        )
+    return cents
+
+
 def ann_ivf_topk(spark, sf_dir, n_queries: int = 5, k: int = 5,
-                 n_cells: int = 16, nprobe: int = 4) -> DataFrame:
+                 n_cells: int = 16, nprobe: int = 4,
+                 train_iters: int = 2) -> DataFrame:
     """IVF (inverted-file) ANN: the coarse-quantizer scale path.
 
-    Build: every candidate vector is assigned to its nearest of ``n_cells``
-    centroids (deterministic centroids: the first n_cells candidate
-    vectors — a stand-in for a k-means codebook, which would be trained
-    offline; assignment itself is the IVF shape either way).  Probe: a
-    query scores only candidates in its ``nprobe`` nearest cells, cutting
-    the scanned fraction to ~nprobe/n_cells.
+    Build: the codebook is k-means-trained (``ivf_train_centroids``,
+    ``train_iters`` distributed Lloyd iterations seeded from the first
+    n_cells candidate vectors); every candidate vector is then assigned
+    to its nearest centroid.  Probe: a query scores only candidates in
+    its ``nprobe`` nearest cells, cutting the scanned fraction to
+    ~nprobe/n_cells.
 
     Scale shape: centroids broadcast (tiny); assignment is a broadcast
     join + partial-aggregated max_by (the K candidate×centroid rows for a
@@ -253,13 +325,7 @@ def ann_ivf_topk(spark, sf_dir, n_queries: int = 5, k: int = 5,
         F.col("embedding").cast("array<double>").alias("v"),
         _norm(F.col("embedding").cast("array<double>")).alias("vn"),
     )
-    cents = emb.filter(
-        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_cells)
-    ).select(
-        (F.col("vec_id") - n_queries).alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.col("vn").alias("cn"),
-    )
+    cents = ivf_train_centroids(emb, n_queries, n_cells, train_iters)
     cands = emb.filter(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"), "v", "vn"
     )
