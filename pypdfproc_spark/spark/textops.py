@@ -175,7 +175,8 @@ SIMHASH_BANDS = 4  # 16 bits banded 4x4: Hamming<=3 pairs share >=1 band
 MAX_SIMHASH_BUCKET = 100
 
 
-def dedup_simhash_pairs(spark, sf_dir, max_hamming: int = 3) -> DataFrame:
+def dedup_simhash_pairs(spark, sf_dir, max_hamming: int = 3,
+                        sim: DataFrame | None = None) -> DataFrame:
     """SimHash near-duplicate PAIRS (the pairing stage that makes SimHash a
     dedup, not just a fingerprint).
 
@@ -184,8 +185,14 @@ def dedup_simhash_pairs(spark, sf_dir, max_hamming: int = 3) -> DataFrame:
     equi-join finds all such pairs without a cross join.  Buckets above
     MAX_SIMHASH_BUCKET occupants are dropped before pairing (same
     degenerate-bucket guard as MinHash); the exact Hamming check
-    (bit_count(xor)) then filters candidates, all JVM-side."""
-    sim = dedup_simhash(spark, sf_dir)
+    (bit_count(xor)) then filters candidates, all JVM-side.
+
+    ``sim``: optionally a precomputed (ideally persisted) dedup_simhash
+    DataFrame — when both the fingerprint and the pairing run in one
+    session, sharing it skips a full signature recomputation (one
+    tokenize+explode+hash-agg pass over the corpus)."""
+    if sim is None:
+        sim = dedup_simhash(spark, sf_dir)
     bands = sim.select(
         "doc_id",
         "simhash16",

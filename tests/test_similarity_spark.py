@@ -100,3 +100,20 @@ def test_simhash_pairs_bucket_cap(spark, tmp_path_factory):
         str(tmp_path_factory.mktemp("sim_hot")), ["same text here"] * n
     )
     assert X.dedup_simhash_pairs(spark, sf).count() == 0
+
+
+def test_simhash_pairs_shared_signatures(spark):
+    """dedup_simhash_pairs(sim=precomputed) must return exactly the rows of
+    the self-computing path (the bench shares the persisted signature DF)."""
+    from pypdfproc_spark.spark import textops as T
+
+    sf = "/root/testdata/sf0.001"
+    standalone = {tuple(r) for r in T.dedup_simhash_pairs(spark, sf).collect()}
+    sim = T.dedup_simhash(spark, sf).persist()
+    try:
+        shared = {
+            tuple(r) for r in T.dedup_simhash_pairs(spark, sf, sim=sim).collect()
+        }
+    finally:
+        sim.unpersist()
+    assert shared == standalone and standalone
