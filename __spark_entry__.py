@@ -134,6 +134,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textops.quality_score,
         "token_count": textops.token_count,
         "token_count_bpe": textops.token_count_bpe,
+        "quality_filter_funnel": textops.quality_filter_funnel,
+        "pii_scan": textops.pii_scan,
+        "dedup_text_prefix": textops.dedup_text_prefix,
+        "length_histogram": textops.length_histogram,
         # similarity search
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "ann_lsh_bucketed": similarity.ann_lsh_bucketed,
@@ -416,6 +420,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, len({_TOKS}) AS n_tokens,
                length(text) AS n_chars_text
         FROM documents
+    """
+
+    sql["quality_filter_funnel"] = f"""
+        SELECT count(*) AS total,
+               CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pass_length,
+               CAST(sum(CASE WHEN n_chars >= 200 AND lang = 'en'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang,
+               CAST(sum(CASE WHEN n_chars >= 200 AND lang = 'en'
+                             AND len({_TOKS}) >= 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pass_tokens
+        FROM documents
+    """
+
+    _pii_email = r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'"
+    _pii_digits = "'[0-9]{9,}'"
+    sql["pii_scan"] = f"""
+        WITH scanned AS (
+          SELECT 'documents' AS source, doc_id AS record_id,
+                 len(regexp_extract_all(text, {_pii_email})) AS emails,
+                 len(regexp_extract_all(text, {_pii_digits})) AS digit_runs
+          FROM documents
+          UNION ALL
+          SELECT 'customer', c_custkey,
+                 len(regexp_extract_all(c_name, {_pii_email})),
+                 len(regexp_extract_all(c_name, {_pii_digits}))
+          FROM customer
+        )
+        SELECT * FROM scanned WHERE emails > 0 OR digit_runs > 0
+    """
+
+    sql["dedup_text_prefix"] = f"""
+        SELECT md5(array_to_string(list_slice({_TOKS}, 1, 10), ' '))
+                 AS prefix_hash,
+               count(*) AS dup_count, min(doc_id) AS keep_doc_id
+        FROM documents GROUP BY 1 HAVING count(*) > 1
+    """
+
+    sql["length_histogram"] = """
+        SELECT least(CAST(floor(n_chars / 500) AS BIGINT), 20) AS len_bucket,
+               count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY 1
     """
 
     _cos = (

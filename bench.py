@@ -133,6 +133,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_lsh_bucketed", "ann_ivf_topk", "blob_metadata",
         "blob_byte_histogram", "latest_snapshot",
         "events_sessionize", "metrics_rollup", "topk_skew",
+        "quality_filter_funnel", "pii_scan", "dedup_text_prefix",
+        "length_histogram",
     ]
     from pypdfproc_spark.spark import textops as T
 

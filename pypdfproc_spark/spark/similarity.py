@@ -296,8 +296,29 @@ def ivf_train_centroids(emb: DataFrame, n_queries: int = 5,
                 .otherwise(new_cv)
                 .alias("cv"),
             )
-            .withColumn("cn", _norm(F.col("cv")))
         )
+        # checkpoint the codebook between iterations: it is n_cells tiny
+        # rows, and materializing it keeps every assignment pass a single
+        # corpus scan — a lazily chained lineage would re-derive ALL prior
+        # iterations (multiple corpus scans) under each later stage.
+        # collect/createDataFrame round-trips doubles exactly, so values
+        # stay bit-identical to the oracle's CTE chain.
+        from pyspark.sql import types as T
+
+        spark = emb.sparkSession
+        mat = [
+            (int(r["cent_id"]), [float(x) for x in r["cv"]])
+            for r in cents.collect()
+        ]
+        cents = spark.createDataFrame(
+            mat,
+            T.StructType(
+                [
+                    T.StructField("cent_id", T.LongType()),
+                    T.StructField("cv", T.ArrayType(T.DoubleType())),
+                ]
+            ),
+        ).withColumn("cn", _norm(F.col("cv")))
     return cents
 
 

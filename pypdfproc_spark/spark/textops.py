@@ -429,6 +429,89 @@ def token_count_bpe(spark, sf_dir) -> DataFrame:
     )
 
 
+def quality_filter_funnel(spark, sf_dir) -> DataFrame:
+    """The training-data filter funnel: how many documents survive each
+    successive quality gate (length -> language -> token count).  One
+    hash-aggregate over the corpus with conditional sums — the canonical
+    'where did my 100 TB go' diagnostic, computed in a single pass."""
+    docs = with_tokens(load_documents(spark, sf_dir))
+    p_len = F.col("n_chars") >= 200
+    p_lang = p_len & (F.col("lang") == "en")
+    p_tok = p_lang & (F.size("toks") >= 50)
+    b = lambda c: F.sum(c.cast("long")).alias  # noqa: E731
+    return docs.agg(
+        F.count("*").alias("total"),
+        b(p_len)("pass_length"),
+        b(p_lang)("pass_lang"),
+        b(p_tok)("pass_tokens"),
+    )
+
+
+# portable regexes: character classes + bounded reps only (no lookaround),
+# identical semantics under Java regex (Spark) and RE2 (DuckDB)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_DIGITRUN_RE = r"[0-9]{9,}"
+
+
+def pii_scan(spark, sf_dir) -> DataFrame:
+    """Multi-source PII-pattern sweep: email-shaped tokens and long digit
+    runs (SSN/account-number superset) counted JVM-side (regexp_count)
+    over every text-bearing column — here documents.text and
+    customer.c_name (whose Customer#000000042 ids ARE 9-digit runs, the
+    classic leaked-identifier shape).  Returns only records with a hit:
+    the redaction work-list, tiny relative to the corpus."""
+    emails = lambda c: F.regexp_count(c, F.lit(PII_EMAIL_RE))  # noqa: E731
+    digitruns = lambda c: F.regexp_count(c, F.lit(PII_DIGITRUN_RE))  # noqa: E731
+    docs = load_documents(spark, sf_dir).select(
+        F.lit("documents").alias("source"),
+        F.col("doc_id").alias("record_id"),
+        emails(F.col("text")).alias("emails"),
+        digitruns(F.col("text")).alias("digit_runs"),
+    )
+    cust = spark.read.parquet(sf_dir.rstrip("/") + "/customer.parquet").select(
+        F.lit("customer").alias("source"),
+        F.col("c_custkey").alias("record_id"),
+        emails(F.col("c_name")).alias("emails"),
+        digitruns(F.col("c_name")).alias("digit_runs"),
+    )
+    return docs.unionAll(cust).filter(
+        (F.col("emails") > 0) | (F.col("digit_runs") > 0)
+    )
+
+
+def dedup_text_prefix(spark, sf_dir, prefix_tokens: int = 10) -> DataFrame:
+    """Boilerplate-prefix dedup: documents sharing the same normalized
+    first-N-token prefix (lower-cased, punctuation-stripped).  Catches
+    template intros that byte-exact dedup misses, in ONE hash-aggregate —
+    no pairwise stage at all."""
+    docs = with_tokens(load_documents(spark, sf_dir))
+    prefix = F.concat_ws(" ", F.slice(F.col("toks"), 1, prefix_tokens))
+    return (
+        docs.groupBy(F.md5(prefix).alias("prefix_hash"))
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("dup_count") > 1)
+        .select("prefix_hash", "dup_count", "keep_doc_id")
+    )
+
+
+def length_histogram(spark, sf_dir, bucket_chars: int = 500,
+                     max_bucket: int = 20) -> DataFrame:
+    """Document-length distribution: n_chars bucketed to ``bucket_chars``
+    steps with a top catch-all — the skew/straggler planning input for
+    partition sizing."""
+    docs = load_documents(spark, sf_dir)
+    bucket = F.least(
+        F.floor(F.col("n_chars") / F.lit(bucket_chars)), F.lit(max_bucket)
+    ).cast("long")
+    return (
+        docs.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+
+
 # -----------------------------------------------------------------------------
 # relational shell of the extraction pipeline (oracle-checkable analogs)
 
