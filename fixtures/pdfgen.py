@@ -1031,6 +1031,37 @@ def f48_type3_cascade() -> bytes:
     return f.build(1)
 
 
+_CMAP_ONE_BFCHAR = None  # built lazily below
+
+
+def _one_bfchar_cmap() -> bytes:
+    return (_CMAP_SCAFFOLD_TOP
+            + b"1 beginbfchar <0041> <0058> endbfchar"
+            + _CMAP_SCAFFOLD_END)
+
+
+def f49_hex_whitespace() -> bytes:
+    """Whitespace INSIDE a hex string (spec-legal, 7.3.4.3): every
+    reference lexer's hexstring rule is <[0-9A-Fa-f]+> with no whitespace
+    (parser/text.py:221), so '<00 41>' fails tokenization at the lone '<'
+    -> t_error raise -> page drop."""
+    return _type0_cmap_doc(_one_bfchar_cmap(), b"<00 41>")
+
+
+def f50_hex_odd_pad() -> bytes:
+    """Odd hex digit count <004>: SplitHex pads ONE trailing zero
+    (__init__.py:728-733) -> cid 0x0040, not in the CMap -> per-CID
+    Identity fallback '@'."""
+    return _type0_cmap_doc(_one_bfchar_cmap(), b"<004>")
+
+
+def f51_hex_odd_drop() -> bytes:
+    """5 hex digits <00410>: padding yields 6 digits, not divisible into
+    2-byte cids -> SplitHex ValueError (__init__.py:735-737) -> page
+    drop."""
+    return _type0_cmap_doc(_one_bfchar_cmap(), b"<00410>")
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1080,6 +1111,9 @@ FIXTURES = {
     "f46_cmap_odd_bfchar": f46_cmap_odd_bfchar,
     "f47_cmap_multi_codespace": f47_cmap_multi_codespace,
     "f48_type3_cascade": f48_type3_cascade,
+    "f49_hex_whitespace": f49_hex_whitespace,
+    "f50_hex_odd_pad": f50_hex_odd_pad,
+    "f51_hex_odd_drop": f51_hex_odd_drop,
 }
 
 

@@ -116,6 +116,7 @@ _TOKEN_RE = _re.compile(
     _re.VERBOSE,
 )
 _NONHEX_WS = bytes(WHITESPACE)
+_HEXDIGITS = frozenset(b"0123456789abcdefABCDEF")
 
 
 class Scanner:
@@ -163,8 +164,16 @@ class Scanner:
                 return ("dict>", None)
             if kind == "hex":
                 body = m.group("hex")[1:-1]
-                hx = bytes(c for c in body if c not in _NONHEX_WS).decode("latin-1")
-                return ("hex", HexStr(hx))
+                # reference parity: EVERY reference lexer requires
+                # <[0-9A-Fa-f]+> — non-empty, hex digits only, no
+                # whitespace (parser/pdf.py:95, parser/text.py:221,
+                # parser/cmap.py:111); anything else is a lexer error
+                # (t_error raise), NOT a lenient strip
+                if not body or any(c not in _HEXDIGITS for c in body):
+                    raise PdfError(
+                        "malformed hex string at %d" % m.start("hex")
+                    )
+                return ("hex", HexStr(body.decode("latin-1")))
             if kind == "arro":
                 return ("arr<", None)
             if kind == "arrc":
@@ -211,11 +220,12 @@ class Scanner:
                 j += 1
             if j >= n:
                 raise PdfError("unterminated hex string at %d" % i)
-            hx = bytes(
-                c for c in data[i + 1 : j] if c not in WHITESPACE
-            ).decode("latin-1")
+            body = data[i + 1 : j]
+            # strict reference rule: see the regex-path comment above
+            if not body or any(c not in _HEXDIGITS for c in body):
+                raise PdfError("malformed hex string at %d" % i)
             self.pos = j + 1
-            return ("hex", HexStr(hx))
+            return ("hex", HexStr(body.decode("latin-1")))
 
         if b == 0x3E:  # '>' -> '>>'
             if i + 1 < n and data[i + 1] == 0x3E:

@@ -48,7 +48,13 @@ def test_literal_strings():
 
 def test_hex_strings():
     assert parse(b"<48656C6C6F>") == HexStr("48656C6C6F")
-    assert parse(b"<48 65 6C>") == HexStr("48656C")  # embedded whitespace
+    # reference parity (r03): every reference lexer requires
+    # <[0-9A-Fa-f]+> — embedded whitespace, empty, or non-hex bodies are
+    # lexer errors (parser/pdf.py:95, text.py:221, cmap.py:111; pinned by
+    # fixture f49_hex_whitespace)
+    for bad in (b"<48 65 6C>", b"<>", b"<4z>"):
+        with pytest.raises(PdfError):
+            parse(bad)
 
 
 def test_arrays_and_dicts():

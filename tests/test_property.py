@@ -53,7 +53,7 @@ def test_split_hex_two_byte_roundtrip(cids):
     assert split_hex(hx, 2) == [chr(c) for c in cids]
 
 
-@given(st.binary(min_size=0, max_size=40))
+@given(st.binary(min_size=1, max_size=40))  # <> is a lexer error (r03 parity)
 @settings(max_examples=200, deadline=None)
 def test_hex_string_parse(data):
     hx = data.hex().upper().encode()

@@ -178,5 +178,27 @@ def main() -> None:
             print("    " + "\n    ".join(tb[-4:]))
 
 
+
+
+def p_hex_ws() -> bytes:
+    """Whitespace inside a hex string (spec-legal) — does the lexer cope?"""
+    return _type0_doc(CMAP_TWO_BFCHAR, b"<00 41>")
+
+
+def p_hex_odd3() -> bytes:
+    """3 hex digits: spec pads one trailing zero -> cid 0x0040."""
+    return _type0_doc(CMAP_TWO_BFCHAR, b"<004>")
+
+
+def p_hex_odd5() -> bytes:
+    """5 hex digits: pads to 6, not divisible into 2-byte cids."""
+    return _type0_doc(CMAP_TWO_BFCHAR, b"<00410>")
+
+
+PROBES["hex_ws"] = p_hex_ws
+PROBES["hex_odd3"] = p_hex_odd3
+PROBES["hex_odd5"] = p_hex_odd5
+
+
 if __name__ == "__main__":
     main()
