@@ -1062,6 +1062,14 @@ def f51_hex_odd_drop() -> bytes:
     return _type0_cmap_doc(_one_bfchar_cmap(), b"<00410>")
 
 
+def f52_tj_name_operand() -> bytes:
+    """A NAME operand inside a TJ array ([(A) /Oops (B)] TJ): the
+    reference's GetTokenString has branches only for LIT/HEXSTRING and
+    raises TypeError on NAME (__init__.py:654-657) -> page drop."""
+    c = b"BT /F1 12 Tf 72 720 Td [(A) /Oops (B)] TJ ET"
+    return simple_doc(c, HELV)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1114,6 +1122,7 @@ FIXTURES = {
     "f49_hex_whitespace": f49_hex_whitespace,
     "f50_hex_odd_pad": f50_hex_odd_pad,
     "f51_hex_odd_drop": f51_hex_odd_drop,
+    "f52_tj_name_operand": f52_tj_name_operand,
 }
 
 

@@ -200,5 +200,16 @@ PROBES["hex_odd3"] = p_hex_odd3
 PROBES["hex_odd5"] = p_hex_odd5
 
 
+
+
+def p_tj_name() -> bytes:
+    """A NAME operand inside a TJ array: [(A) /Oops (B)] TJ."""
+    c = b"BT /F1 12 Tf 72 720 Td [(A) /Oops (B)] TJ ET"
+    return simple_doc(c, HELV)
+
+
+PROBES["tj_name"] = p_tj_name
+
+
 if __name__ == "__main__":
     main()
