@@ -85,7 +85,8 @@ def run_extraction(spark, pages_path: str) -> tuple[float, int, int]:
     df = P.latest_snapshot(pages)
     df = P.route(df)
     df = P.with_bucket(df, 64)
-    df = P.salted_repartition(df, int(CPUS))
+    # no redistribution after the dedup window (r03 measured default —
+    # see pipeline.run_pipeline's skew-policy docstring)
     obs = Observation("extract_metrics")
     ex = P.extract(df).observe(
         obs,

@@ -296,18 +296,29 @@ def run_pipeline(
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline; returns (results_df, metrics_df).
 
-    Skew policy (measured, tools/ab_extract.py r03): the unbucketed path
-    uses salted_repartition — one explicit payload shuffle that both
-    rebalances giant documents and evens task sizes before the UDF
-    (medians at repl=10: salted 4.05 s < direct 4.47 s < spread_giants
-    4.60 s; the union-of-filters spread recomputes scan+sort+window per
-    branch with no exchange reuse, so it loses both locally and at scale
-    on an unbucketed input)."""
+    Skew policy (measured at two scales, tools/ab_extract.py +
+    tools/ab_scaling.py, r03): when the dedup window runs, extraction
+    consumes the window's own hash(url) distribution DIRECTLY — no
+    redistribution.  At 500k docs (repl=100) that is both the fastest
+    wall at every parallelism (local[8] 39.3 s / local[32] 12.4 s vs
+    salted 77.1/29.9 and spread_giants 45.5/14.0) and near-ideal 8->32
+    scaling (0.795 raw, above the measured hardware ceiling): a second
+    full payload shuffle (salted) is a disk-bound, thread-insensitive
+    stage that halves throughput and caps efficiency at 0.64, and the
+    union-of-filters spread recomputes scan+sort+window per branch.
+    Giant-doc balance comes from the window shuffle itself (url-hash
+    over shuffle.partitions) plus AQE coalescing; at repl=10 the
+    variants are within noise of each other (4.0-4.6 s).
+
+    Without dedup there is no upstream shuffle, so the explicit
+    salted_repartition remains: one payload shuffle that spreads giants
+    and evens task sizes before the UDF (the north-star's explicit
+    salting)."""
     if dedup:
         df = with_bucket(route(latest_snapshot(pages)), n_buckets)
     else:
         df = with_bucket(route(pages), n_buckets)
-    df = salted_repartition(df, partitions)
+        df = salted_repartition(df, partitions)
     ex = extract(df)
     # extraction runs once; both outputs read the exploded/aggregated views
     return results(ex), metrics(ex)
@@ -433,7 +444,8 @@ def run_resumable(
     todo = resume_filter(df, spark, checkpoint_path)
     if todo.isEmpty():
         return
-    todo = salted_repartition(todo, partitions)
+    # dedup window upstream -> keep its distribution (r03 skew policy;
+    # the resume anti-join is a broadcast and preserves partitioning)
     ex = extract(todo)
     # materialize extraction once for both sinks
     ex = ex.persist()
