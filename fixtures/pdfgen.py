@@ -1070,6 +1070,27 @@ def f52_tj_name_operand() -> bytes:
     return simple_doc(c, HELV)
 
 
+def f53_bt_no_et() -> bytes:
+    """BT block never closed (no ET before stream end): text still
+    extracts — the reference processes tokens sequentially and the
+    assembler flushes at page end, not at ET."""
+    c = b"BT /F1 12 Tf 72 720 Td (NoET) Tj"
+    return simple_doc(c, HELV)
+
+
+def f54_contents_nonstream() -> bytes:
+    """/Contents resolving to a dict instead of a stream: the reference
+    dies retrieving stream tokens (IndexError) -> page drop."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add(5, b"<< /NotA /Stream >>")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1123,6 +1144,8 @@ FIXTURES = {
     "f50_hex_odd_pad": f50_hex_odd_pad,
     "f51_hex_odd_drop": f51_hex_odd_drop,
     "f52_tj_name_operand": f52_tj_name_operand,
+    "f53_bt_no_et": f53_bt_no_et,
+    "f54_contents_nonstream": f54_contents_nonstream,
 }
 
 

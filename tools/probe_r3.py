@@ -211,5 +211,29 @@ def p_tj_name() -> bytes:
 PROBES["tj_name"] = p_tj_name
 
 
+
+
+def p_bt_no_et() -> bytes:
+    """Text block never closed: BT ... Tj with no ET at stream end."""
+    c = b"BT /F1 12 Tf 72 720 Td (NoET) Tj"
+    return simple_doc(c, HELV)
+
+
+def p_contents_nonstream() -> bytes:
+    """/Contents pointing at a dict (not a stream)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add(5, b"<< /NotA /Stream >>")
+    return f.build(1)
+
+
+PROBES["bt_no_et"] = p_bt_no_et
+PROBES["contents_nonstream"] = p_contents_nonstream
+
+
 if __name__ == "__main__":
     main()
