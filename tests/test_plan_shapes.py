@@ -1,0 +1,100 @@
+"""Physical-plan regression gates: the plans that make the operators
+scale-safe must not silently regress (SURVEY.md §4; docs/PLANS.md).
+
+Each test compiles the executed plan string and asserts the property the
+100 TB argument rests on — no cartesian stages in the pairwise family,
+broadcasts where a side is small, partial aggregation where the shuffle
+must carry collapsed rows.
+"""
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pypdfproc_spark.spark.session import build_session
+
+    s = build_session(app="plan-tests", master="local[4]",
+                      shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dedup_verified_no_cartesian(spark):
+    from pypdfproc_spark.spark import textops
+
+    plan = _plan(textops.dedup_verified(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pairwise_family_no_cartesian(spark):
+    from pypdfproc_spark.spark import similarity, textops
+
+    for fn in (textops.dedup_minhash_lsh, textops.dedup_simhash_pairs,
+               similarity.dedup_embedding_cosine):
+        plan = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    """The cross join IS brute force by definition — but the tiny query
+    side must be the broadcast side, and top-k must push below the
+    shuffle (WindowGroupLimit)."""
+    from pypdfproc_spark.spark import similarity
+
+    plan = _plan(similarity.ann_topk_bruteforce(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_ivf_assignment_partial_aggregates(spark):
+    """The candidate x centroid expansion must collapse map-side: the
+    aggregate over neighbor_id appears as partial+final around ONE
+    narrow exchange."""
+    from pypdfproc_spark.spark import similarity
+
+    plan = _plan(similarity.ann_ivf_topk(spark, SF, train_iters=0))
+    assert "partial_max_by" in plan or "partial_first" in plan
+    assert "hashpartitioning(neighbor_id" in plan
+
+
+def test_funnel_single_aggregate(spark):
+    """quality_filter_funnel is one pass: a single partial+final agg,
+    no joins at all."""
+    from pypdfproc_spark.spark import textops
+
+    plan = _plan(textops.quality_filter_funnel(spark, SF))
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_extract_plain_path_single_payload_shuffle(spark):
+    """r03 skew policy: the dedup path has exactly ONE exchange of
+    payload rows (the window shuffle) — no salted second shuffle."""
+    import datetime
+
+    from pypdfproc_spark.spark import pipeline as P
+
+    rows = [("u%d" % i, datetime.datetime(2024, 1, 1), b"x", None, "en")
+            for i in range(4)]
+    df = spark.createDataFrame(rows, P.PAGES_SCHEMA)
+    res, _ = P.run_pipeline(df, n_buckets=4, partitions=4)
+    plan = _plan(res)
+    # one hashpartitioning(url) exchange; no RoundRobin/salt exchange
+    assert len(re.findall(r"Exchange hashpartitioning\(url", plan)) == 1
+    assert "RoundRobinPartitioning" not in plan
+    assert len(re.findall(r"Exchange", plan)) == 1
