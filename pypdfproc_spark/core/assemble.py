@@ -23,6 +23,10 @@ from .fonts import font_widths
 
 
 class TextAssembler:
+    __slots__ = ("doc", "_lookup_font", "fulltxt", "spans", "txt", "y",
+                 "widths", "_txt_len", "_line_start", "_line_x", "_line_y",
+                 "_page_spans")
+
     def __init__(self, doc, lookup_font):
         self.doc = doc
         self._lookup_font = lookup_font
@@ -53,8 +57,10 @@ class TextAssembler:
             "max": max(vals),
         }
 
-    def on_glyph_draw(self, pos, glyph) -> None:
-        x, y = pos
+    def on_glyph_draw(self, x, y, glyph) -> None:
+        # flat (x, y, glyph) signature: the interpreter calls this once per
+        # glyph — the hot path of the whole engine — and a positional flat
+        # call avoids one tuple alloc + unpack per glyph
         if self.y != y:
             self._close_line()
             self.txt.append("\n")
@@ -65,6 +71,21 @@ class TextAssembler:
         u = glyph.unicode
         self.txt.append(u)
         self._txt_len += len(u)
+
+    def on_text_run(self, x, y, text) -> None:
+        """Batched same-y glyph run (the interpreter's fast path): byte-
+        equivalent to on_glyph_draw per glyph GIVEN that every glyph in
+        ``text`` shares ``y`` bit-exactly — the caller proves that before
+        batching (interp.py fast-path preconditions)."""
+        if self.y != y:
+            self._close_line()
+            self.txt.append("\n")
+            self._txt_len += 1
+            self.y = y
+            self._line_start = self._txt_len
+            self._line_x, self._line_y = x, y
+        self.txt.append(text)
+        self._txt_len += len(text)
 
     def on_space_draw(self, w) -> None:
         if abs(w) > 0.5 * self.widths["avg"]:
@@ -94,7 +115,7 @@ class TextAssembler:
     def feed_one(self, ev) -> None:
         kind = ev[0]
         if kind == "glyph_draw":
-            self.on_glyph_draw(ev[1], ev[2])
+            self.on_glyph_draw(ev[1][0], ev[1][1], ev[2])
         elif kind == "space_draw":
             self.on_space_draw(ev[1])
         elif kind == "change_font":

@@ -65,7 +65,8 @@ def extract_pdf(payload: bytes) -> ExtractResult:
     for page in pages:
         interp = PageInterpreter(doc, resolver, resources_stack,
                                  on_event=asm.feed_one,
-                                 on_glyph=asm.on_glyph_draw)
+                                 on_glyph=asm.on_glyph_draw,
+                                 on_text_run=asm.on_text_run)
         interp_box[:] = [interp]
         try:
             # content decode happens BEFORE the resource push, like the

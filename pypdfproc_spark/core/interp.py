@@ -204,7 +204,7 @@ class PageInterpreter:
     """Interprets one page (plus XObject recursion) into an event list."""
 
     def __init__(self, doc, resolver: FontResolver, resources_stack: list,
-                 on_event=None, on_glyph=None):
+                 on_event=None, on_glyph=None, on_text_run=None):
         self.doc = doc
         self.fonts = resolver
         # shared, document-lifetime resource stack (the reference's
@@ -216,9 +216,14 @@ class PageInterpreter:
         # callback architecture (__init__.py:273-298)
         self._sink = on_event
         # optional fast path for the one event class that dominates volume
-        # (~95% of events are glyph draws): called as on_glyph((x, y), glyph)
+        # (~95% of events are glyph draws): called as on_glyph(x, y, glyph)
         # directly, skipping tuple construction + string dispatch per glyph
         self._on_glyph = on_glyph
+        # optional batched variant: one call per constant-y glyph run
+        # (on_text_run(x0, y, concatenated_unicode)); only engaged when the
+        # fast path PROVES y is bit-identical across the run (see
+        # _show_text preconditions)
+        self._on_text_run = on_text_run
 
     def _emit(self, ev) -> None:
         # with a sink attached (the assembler), events are consumed as they
@@ -390,8 +395,56 @@ class PageInterpreter:
             cmA, cmB, cmC, cmD, cmE, cmF = cm.A, cm.B, cm.C, cm.D, cm.E, cm.F
             Tfs, Tc, Tw = T.Tfs, T.Tc, T.Tw
             Tzq = T.Tz / 100.0  # loop-constant; same value every glyph
+            # constant-y fast path: with no rotation coupling (tb == 0 and
+            # cmB == 0) only te evolves within the string, and te reaches y
+            # solely through m1e*cmB = +-0.0 — absorbed exactly when the
+            # rest of the sum is nonzero.  The bit-exactness proof needs
+            #   tf != 0      (tf += +-0.0 per glyph is exact iff tf != 0)
+            #   K  != 0      (+-0.0 + K == K exactly iff K != 0)
+            #   y0 == y0     (a NaN y makes the slow path newline EVERY
+            #                 glyph — NaN != NaN — so it must stay slow)
+            # Under those, every glyph's y is bit-identical to y0, x is
+            # observable only at the line change (first glyph), and the run
+            # collapses to ONE on_text_run call.  A non-finite te (giant
+            # widths) falls back mid-string to the exact slow loop.
+            on_run = self._on_text_run
+            i = 0
+            n_chars = len(chars)
+            fast = (
+                on_run is not None and tb == 0.0 and cmB == 0.0 and tf != 0.0
+            )
+            if fast:
+                m1f0 = 0.0 * tb + Tr * td + tf
+                k0 = m1f0 * cmD
+                y0 = k0 + cmF
+                fast = k0 != 0.0 and y0 == y0
             try:
-                for ch in chars:
+                if fast:
+                    buf = []
+                    buf_append = buf.append
+                    x0 = 0.0
+                    try:
+                        while i < n_chars:
+                            cid = ord(chars[i])
+                            g = cached_glyph(cid)
+                            if g is None:
+                                g = get_glyph(font, cid)
+                            if not buf:
+                                m1e = 0.0 * ta + Tr * tc + te
+                                x0 = m1e * cmA + m1f0 * cmC + cmE
+                            buf_append(g.unicode)
+                            tx = ((g.width - 0.0) / 1000.0 * Tfs + Tc + Tw) * Tzq
+                            te = tx * ta + 0.0 * tc + te
+                            i += 1
+                            if te - te != 0.0:
+                                break  # te went inf/NaN: finish slow, exact
+                    finally:
+                        # flush BEFORE any exception propagates: the slow
+                        # path had already drawn these glyphs (partial-state
+                        # parity on error pages)
+                        if buf:
+                            on_run(x0, y0, "".join(buf))
+                for ch in chars[i:] if i else chars:
                     cid = ord(ch)
                     g = cached_glyph(cid)
                     if g is None:
@@ -401,7 +454,7 @@ class PageInterpreter:
                     x = m1e * cmA + m1f * cmC + cmE
                     y = m1e * cmB + m1f * cmD + cmF
                     if on_glyph is not None:
-                        on_glyph((x, y), g)
+                        on_glyph(x, y, g)
                     else:
                         emit(("glyph_draw", (x, y), g))
                     # == T.advance_glyph(g.width), scalarized
