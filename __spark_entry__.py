@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": textops.dedup_simhash_pairs,
         "dedup_ngram_jaccard": textops.dedup_ngram_jaccard,
         "dedup_verified": textops.dedup_verified,
+        "dedup_verified_keep": textops.dedup_verified_keep,
         "doc_fingerprint": textops.doc_fingerprint,
         # text analysis
         "lang_id": textops.lang_id,
@@ -374,6 +375,13 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2
+    """
+
+    # survivors: drop the higher id of every verified pair
+    _dv = sql["dedup_verified"]
+    sql["dedup_verified_keep"] = f"""
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_b FROM ({_dv}))
     """
 
     sql["doc_fingerprint"] = f"""

@@ -298,6 +298,19 @@ def dedup_verified(spark, sf_dir, threshold: float = 0.2) -> DataFrame:
     )
 
 
+def dedup_verified_keep(spark, sf_dir, threshold: float = 0.2) -> DataFrame:
+    """Survivors of the verified dedup: every document that is not the
+    HIGHER id of any verified near-dup pair.  With doc_a < doc_b in every
+    pair, this keeps exactly the lowest id of each duplicate clique (the
+    standard greedy pair-removal used at corpus scale; a full
+    transitive-closure grouping needs iterative connected components and
+    buys little when near-dup cliques are dense)."""
+    pairs = dedup_verified(spark, sf_dir, threshold)
+    docs = load_documents(spark, sf_dir)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+
+
 def dedup_ngram_jaccard(spark, sf_dir, max_doc_id: int = 150,
                         threshold: float = 0.2) -> DataFrame:
     """Exact 3-gram Jaccard over a doc_id-bounded subset — a DEMO-scale
