@@ -41,12 +41,32 @@ def freeze() -> dict[str, list[str]]:
     return out
 
 
+HTML_GOLDENS_PATH = os.path.join(REPO, "fixtures", "goldens",
+                                 "html_goldens.json")
+
+
+def freeze_html() -> dict[str, str]:
+    """HTML goldens are OUR OWN deterministic output (no reference analog,
+    FIXTURES.md §3): frozen here so any extractor change shows up as an
+    explicit golden diff, never a silent drift."""
+    sys.path.insert(0, REPO)
+    from fixtures.htmlgen import build_all as build_html
+    from pypdfproc_spark.core.htmltext import extract_main_text
+
+    return {name: extract_main_text(data)
+            for name, data in sorted(build_html().items())}
+
+
 def main() -> None:
     goldens = freeze()
     os.makedirs(os.path.dirname(GOLDENS_PATH), exist_ok=True)
     with open(GOLDENS_PATH, "w") as fh:
         json.dump(goldens, fh, indent=1, ensure_ascii=False)
     sys.stdout.write("wrote %s (%d fixtures)\n" % (GOLDENS_PATH, len(goldens)))
+    hg = freeze_html()
+    with open(HTML_GOLDENS_PATH, "w") as fh:
+        json.dump(hg, fh, indent=1, ensure_ascii=False)
+    sys.stdout.write("wrote %s (%d fixtures)\n" % (HTML_GOLDENS_PATH, len(hg)))
 
 
 if __name__ == "__main__":
