@@ -1091,6 +1091,35 @@ def f54_contents_nonstream() -> bytes:
     return f.build(1)
 
 
+def _widths_font_doc(widths_body: bytes, extra_objs: list) -> bytes:
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+             b"/FirstChar 65 /LastChar 66 /Widths " + widths_body +
+             b" /Encoding /WinAnsiEncoding >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (AB) Tj "
+                         b"[(A) -600 (B)] TJ ET")
+    for oid, body in extra_objs:
+        f.add(oid, body)
+    return f.build(1)
+
+
+def f55_widths_indirect_elems() -> bytes:
+    """Widths array whose ELEMENTS are indirect refs: the implied-space
+    average sums raw elements -> TypeError int + IndirectObject -> page
+    drop (the reference never resolves refs nested INSIDE arrays)."""
+    return _widths_font_doc(b"[6 0 R 7 0 R]", [(6, b"556"), (7, b"556")])
+
+
+def f56_widths_indirect_array() -> bytes:
+    """/Widths VALUE as an indirect ref to the array: resolved by the
+    lazy attribute loader -> extracts normally (contrast f55)."""
+    return _widths_font_doc(b"6 0 R", [(6, b"[556 556]")])
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1146,6 +1175,8 @@ FIXTURES = {
     "f52_tj_name_operand": f52_tj_name_operand,
     "f53_bt_no_et": f53_bt_no_et,
     "f54_contents_nonstream": f54_contents_nonstream,
+    "f55_widths_indirect_elems": f55_widths_indirect_elems,
+    "f56_widths_indirect_array": f56_widths_indirect_array,
 }
 
 

@@ -235,5 +235,44 @@ PROBES["bt_no_et"] = p_bt_no_et
 PROBES["contents_nonstream"] = p_contents_nonstream
 
 
+
+
+def p_widths_indirect_elems() -> bytes:
+    """Widths array whose ELEMENTS are indirect references."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+             b"/FirstChar 65 /LastChar 66 /Widths [6 0 R 7 0 R] "
+             b"/Encoding /WinAnsiEncoding >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (AB) Tj "
+                         b"[(A) -600 (B)] TJ ET")
+    f.add(6, b"556")
+    f.add(7, b"556")
+    return f.build(1)
+
+
+def p_widths_indirect_array() -> bytes:
+    """The /Widths VALUE itself is an indirect ref to an array."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+             b"/FirstChar 65 /LastChar 66 /Widths 6 0 R "
+             b"/Encoding /WinAnsiEncoding >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (AB) Tj "
+                         b"[(A) -600 (B)] TJ ET")
+    f.add(6, b"[556 556]")
+    return f.build(1)
+
+
+PROBES["widths_indirect_elems"] = p_widths_indirect_elems
+PROBES["widths_indirect_array"] = p_widths_indirect_array
+
+
 if __name__ == "__main__":
     main()
