@@ -1120,6 +1120,47 @@ def f56_widths_indirect_array() -> bytes:
     return _widths_font_doc(b"6 0 R", [(6, b"[556 556]")])
 
 
+# LZW encoding of b"BT /F1 12 Tf 72 720 Td (LZW page) Tj ET" (spec
+# 7.4.4 code widths, EarlyChange default; frozen literal so pdfgen stays
+# import-light — tests/test_lzw.py's round-trip encoder produced it)
+_LZW_CONTENT = (b"\x80\x10\x8a\x82\x01y\x18b \x18\x8c\x84\x05C0\x80o\n"
+                b"\x87\x8c!fA\x00\xa0\x98Z+\x88\x0e\x06\x139\x94S\x0b5"
+                b"\x08\x08\xa5H\x08")
+
+
+def f57_lzw_strict_drop() -> bytes:
+    """/Filter /LZWDecode content stream: the reference decodes ONLY the
+    exact name FlateDecode (pdf.py:456-469 ValueError) -> page drops; the
+    plain page 2 survives.  Pins the engine's STRICT filter default (the
+    extended superset is the documented opt-in)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R 6 0 R] /Count 2 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"/Filter /LZWDecode", _LZW_CONTENT)
+    f.add(6, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 7 0 R >>")
+    f.add_stream(7, b"", b"BT /F1 12 Tf 72 700 Td (Plain page) Tj ET")
+    return f.build(1)
+
+
+def f58_filter_array_flate() -> bytes:
+    """ARRAY-form /Filter [/FlateDecode]: the reference compares the
+    filter value with == 'FlateDecode', so even a one-element array of
+    the supported filter raises -> page drop."""
+    content = b"BT /F1 12 Tf 72 720 Td (Array filter) Tj ET"
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"/Filter [/FlateDecode]", flate(content))
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1177,6 +1218,8 @@ FIXTURES = {
     "f54_contents_nonstream": f54_contents_nonstream,
     "f55_widths_indirect_elems": f55_widths_indirect_elems,
     "f56_widths_indirect_array": f56_widths_indirect_array,
+    "f57_lzw_strict_drop": f57_lzw_strict_drop,
+    "f58_filter_array_flate": f58_filter_array_flate,
 }
 
 

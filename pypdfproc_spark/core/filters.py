@@ -209,16 +209,41 @@ def _rl_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def decode_stream(d: dict, raw: bytes) -> bytes:
+# Default STRICT reference parity: the reference decodes a stream ONLY
+# when its /Filter is the exact name 'FlateDecode' — an ARRAY (even
+# [/FlateDecode]), the 'Fl' abbreviation, LZW/AHx/A85/RL all raise
+# ValueError and drop the page (pdf.py:456-469; pinned by fixtures
+# f57_lzw_strict_drop / f58_filter_array_flate).  Set EXTENDED_FILTERS =
+# True (process-wide; the Spark pipeline plumbs it via
+# pipeline.extract(extended_filters=True)) to opt into the documented
+# superset: filter chains, abbreviations, LZW, ASCIIHex/85, RunLength —
+# strictly MORE documents decoded, at the cost of per-url byte parity
+# with the reference on documents the reference cannot read.
+EXTENDED_FILTERS = False
+
+
+def decode_stream(d: dict, raw: bytes, extended: bool | None = None) -> bytes:
     """Apply the (possibly chained) /Filter of a stream dictionary.
 
-    The reference supports FlateDecode only and raises ValueError otherwise
-    (pdf.py:454-477); here unsupported filters raise UnsupportedFilterError
-    which the pipeline turns into a decode_failures metric event.
+    Unsupported-by-parity filters raise UnsupportedFilterError, which the
+    pipeline turns into a decode_failures metric event (and the page
+    drops, like the reference's ValueError at pdf.py:469).
     """
+    if extended is None:
+        extended = EXTENDED_FILTERS
     filt = d.get("Filter")
     if filt is None:
         return raw
+    if not extended:
+        if filt == "FlateDecode":
+            # the reference reads ONLY the 'DecodeParms' key here — the
+            # 'DP' abbreviation is object-stream-only (pdf.py:458-462)
+            parms = d.get("DecodeParms")
+            return flate_decode(raw, parms if isinstance(parms, dict) else {})
+        raise UnsupportedFilterError(
+            "filter %r unsupported by the reference (strict parity; "
+            "set filters.EXTENDED_FILTERS for the superset)" % (filt,)
+        )
     filts = filt if isinstance(filt, list) else [filt]
     parms = d.get("DecodeParms", d.get("DP"))
     if not isinstance(parms, list):

@@ -94,7 +94,8 @@ _PKG_ROOT = _os.path.dirname(
 )
 
 
-def _make_extract_batch(pkg_root: str, columns: list):
+def _make_extract_batch(pkg_root: str, columns: list,
+                        extended_filters: bool = False):
     """Factory: the returned closure is cloudpickled BY VALUE (module-level
     functions are pickled by reference and would require the package to be
     importable on the worker before any code of ours runs).  The closure
@@ -109,6 +110,14 @@ def _make_extract_batch(pkg_root: str, columns: list):
         if pkg_root not in _sys.path:
             _sys.path.insert(0, pkg_root)
         from pypdfproc_spark.core.extract import extract_document
+
+        if extended_filters:
+            # documented opt-out of strict filter parity: decode LZW /
+            # ASCIIHex / ASCII85 / RunLength / filter chains the reference
+            # cannot (core.filters.EXTENDED_FILTERS docstring)
+            from pypdfproc_spark.core import filters as _filters
+
+            _filters.EXTENDED_FILTERS = True
 
         rows = []
         for payload in html:
@@ -133,6 +142,12 @@ def _make_extract_batch(pkg_root: str, columns: list):
 
 _extract_udf = F.pandas_udf(
     _make_extract_batch(_PKG_ROOT, [f.name for f in _EXTRACT_FIELDS]),
+    returnType=EXTRACT_STRUCT,
+)
+
+_extract_udf_extended = F.pandas_udf(
+    _make_extract_batch(_PKG_ROOT, [f.name for f in _EXTRACT_FIELDS],
+                        extended_filters=True),
     returnType=EXTRACT_STRUCT,
 )
 
@@ -218,14 +233,19 @@ def spread_giants(
     return normals.unionAll(giants)
 
 
-def extract(pages: DataFrame) -> DataFrame:
+def extract(pages: DataFrame, extended_filters: bool = False) -> DataFrame:
     """Run the per-document extractor; one row out per input document.
 
     The MB-scale binary payload is dropped immediately after the UDF (only
     its length survives, for metrics) so any downstream persist/shuffle
-    carries kilobytes per row, not megabytes."""
+    carries kilobytes per row, not megabytes.
+
+    ``extended_filters``: opt out of strict filter parity — decode
+    LZW/ASCIIHex/ASCII85/RunLength/filter-chain streams the reference
+    drops (more yield, no longer byte-identical per url on those docs)."""
+    udf = _extract_udf_extended if extended_filters else _extract_udf
     return (
-        pages.withColumn("doc", _extract_udf(F.col("html")))
+        pages.withColumn("doc", udf(F.col("html")))
         .withColumn("bytes_in", F.length("html"))
         .drop("html", "text")
     )

@@ -46,31 +46,47 @@ def test_tiff_predictor():
 
 
 def test_ascii_hex():
-    assert filters.decode_stream({"Filter": "ASCIIHexDecode"}, b"48656C6C6F>") == b"Hello"
+    assert filters.decode_stream({"Filter": "ASCIIHexDecode"}, b"48656C6C6F>", extended=True) == b"Hello"
     # odd count pads trailing zero
-    assert filters.decode_stream({"Filter": "ASCIIHexDecode"}, b"487>") == b"Hp"
+    assert filters.decode_stream({"Filter": "ASCIIHexDecode"}, b"487>", extended=True) == b"Hp"
 
 
 def test_run_length():
     # literal run of 3, then repeat 'z' 4 times, then EOD
     data = bytes([2]) + b"abc" + bytes([253]) + b"z" + bytes([128])
-    assert filters.decode_stream({"Filter": "RunLengthDecode"}, data) == b"abczzzz"
+    assert filters.decode_stream({"Filter": "RunLengthDecode"}, data, extended=True) == b"abczzzz"
 
 
 def test_filter_chain():
     raw = b"payload"
     enc = zlib.compress(raw).hex().upper().encode() + b">"
     d = {"Filter": ["ASCIIHexDecode", "FlateDecode"]}
-    assert filters.decode_stream(d, enc) == raw
+    assert filters.decode_stream(d, enc, extended=True) == raw
 
 
 def test_unsupported_filters_raise_typed():
-    with pytest.raises(filters.UnsupportedFilterError):
-        filters.decode_stream({"Filter": "DCTDecode"}, b"\xff\xd8")
-    with pytest.raises(filters.UnsupportedFilterError):
-        filters.decode_stream({"Filter": "Crypt"}, b"x")
-    with pytest.raises(filters.UnsupportedFilterError):
-        filters.decode_stream({"Filter": "NoSuchFilter"}, b"x")
+    for ext in (False, True):
+        with pytest.raises(filters.UnsupportedFilterError):
+            filters.decode_stream({"Filter": "DCTDecode"}, b"\xff\xd8",
+                                  extended=ext)
+        with pytest.raises(filters.UnsupportedFilterError):
+            filters.decode_stream({"Filter": "Crypt"}, b"x", extended=ext)
+        with pytest.raises(filters.UnsupportedFilterError):
+            filters.decode_stream({"Filter": "NoSuchFilter"}, b"x",
+                                  extended=ext)
+
+
+def test_strict_parity_default():
+    """Reference parity (f57/f58): only the exact name 'FlateDecode'
+    decodes by default — arrays (even [FlateDecode]), the 'Fl'
+    abbreviation, and every non-Flate filter raise."""
+    raw = b"strict body"
+    enc = zlib.compress(raw)
+    assert filters.decode_stream({"Filter": "FlateDecode"}, enc) == raw
+    for filt in (["FlateDecode"], "Fl", "LZWDecode", "ASCIIHexDecode",
+                 "ASCII85Decode", "RunLengthDecode"):
+        with pytest.raises(filters.UnsupportedFilterError):
+            filters.decode_stream({"Filter": filt}, enc)
 
 
 def test_corrupt_zlib_raises_decode_error():

@@ -152,7 +152,7 @@ def test_matches_independent_reference_decoder(early):
 def test_through_decode_stream():
     payload = b"stream body " * 40
     d = {"Filter": "LZWDecode"}
-    assert decode_stream(d, lzw_encode(payload)) == payload
+    assert decode_stream(d, lzw_encode(payload), extended=True) == payload
 
 
 def test_garbage_raises():
@@ -162,8 +162,8 @@ def test_garbage_raises():
 
 def test_lzw_content_stream_through_extract_document():
     """End-to-end: a PDF whose content stream is LZW-compressed extracts
-    text through the full engine path (beyond-reference coverage: the
-    reference raises on any non-Flate filter)."""
+    text through the full engine path in EXTENDED mode, and drops the
+    page (like the reference's ValueError) in the strict default."""
     from fixtures.pdfgen import HELV, PdfFile
     from pypdfproc_spark.core.extract import extract_document
 
@@ -175,7 +175,20 @@ def test_lzw_content_stream_through_extract_document():
     f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
              b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
     f.add_stream(5, b"/Filter /LZWDecode", lzw_encode(content))
-    r = extract_document(f.build(1))
+    data = f.build(1)
+
+    from pypdfproc_spark.core import filters as FL
+
+    # strict default: reference parity — the page DROPS (fixture f57)
+    r = extract_document(data)
+    assert r.pages == [] and r.decode_failures == 1
+
+    # extended mode: the superset decodes it end to end
+    FL.EXTENDED_FILTERS = True
+    try:
+        r = extract_document(data)
+    finally:
+        FL.EXTENDED_FILTERS = False
     assert r.error is None, r.error
     assert r.pages == ["\nLZW works end to end"]
     assert r.decode_failures == 0

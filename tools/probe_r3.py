@@ -274,5 +274,42 @@ PROBES["widths_indirect_elems"] = p_widths_indirect_elems
 PROBES["widths_indirect_array"] = p_widths_indirect_array
 
 
+
+
+def p_lzw_content() -> bytes:
+    import sys as _s
+    _s.path.insert(0, REPO)
+    from tests.test_lzw import lzw_encode
+    content = b"BT /F1 12 Tf 72 720 Td (LZW page) Tj ET"
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R 6 0 R] /Count 2 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"/Filter /LZWDecode", lzw_encode(content))
+    f.add(6, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 7 0 R >>")
+    f.add_stream(7, b"", b"BT /F1 12 Tf 72 700 Td (Plain page) Tj ET")
+    return f.build(1)
+
+
+def p_filter_array_flate() -> bytes:
+    import zlib
+    content = b"BT /F1 12 Tf 72 720 Td (Array filter) Tj ET"
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"/Filter [/FlateDecode]", zlib.compress(content))
+    return f.build(1)
+
+
+PROBES["lzw_content"] = p_lzw_content
+PROBES["filter_array_flate"] = p_filter_array_flate
+
+
 if __name__ == "__main__":
     main()
