@@ -1161,6 +1161,18 @@ def f58_filter_array_flate() -> bytes:
     return f.build(1)
 
 
+def f59_bare_dot() -> bytes:
+    """A bare '.' operand: the FLOAT lexeme regex r'[-+]?\\d*\\.\\d*'
+    matches it with both digit runs empty, then float('.') raises inside
+    t_FLOAT (parser/text.py:207-210) -> page drop."""
+    return simple_doc(b"BT /F1 12 Tf 72 . Td (Dot) Tj ET", HELV)
+
+
+def f60_trailing_dot() -> bytes:
+    """'72.' and '-.5' are valid FLOAT lexemes -> extracts normally."""
+    return simple_doc(b"BT /F1 12 Tf 72. -.5 Td (TrailDot) Tj ET", HELV)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1220,6 +1232,8 @@ FIXTURES = {
     "f56_widths_indirect_array": f56_widths_indirect_array,
     "f57_lzw_strict_drop": f57_lzw_strict_drop,
     "f58_filter_array_flate": f58_filter_array_flate,
+    "f59_bare_dot": f59_bare_dot,
+    "f60_trailing_dot": f60_trailing_dot,
 }
 
 

@@ -311,5 +311,24 @@ PROBES["lzw_content"] = p_lzw_content
 PROBES["filter_array_flate"] = p_filter_array_flate
 
 
+
+
+def p_bare_dot() -> bytes:
+    """A bare '.' operand: reference FLOAT regex matches it, float('.')
+    raises in t_FLOAT."""
+    c = b"BT /F1 12 Tf 72 . Td (Dot) Tj ET"
+    return simple_doc(c, HELV)
+
+
+def p_trailing_dot() -> bytes:
+    """'72.' and '-.5' are valid FLOAT lexemes."""
+    c = b"BT /F1 12 Tf 72. -.5 Td (TrailDot) Tj ET"
+    return simple_doc(c, HELV)
+
+
+PROBES["bare_dot"] = p_bare_dot
+PROBES["trailing_dot"] = p_trailing_dot
+
+
 if __name__ == "__main__":
     main()
