@@ -36,8 +36,14 @@ def freeze() -> dict[str, list[str]]:
         p = os.path.join(tmp, name + ".pdf")
         with open(p, "wb") as fh:
             fh.write(data)
-        doc = pypdfproc.PDF(p)
-        out[name] = doc.GetFullText()
+        try:
+            doc = pypdfproc.PDF(p)
+            out[name] = doc.GetFullText()
+        except Exception:
+            # doc-level raise (e.g. f61: every xref row read as free ->
+            # Object N not found): the reference retrieves NO text at all;
+            # the engine mirrors it as pages=[] with a typed error
+            out[name] = []
     return out
 
 

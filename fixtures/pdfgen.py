@@ -1173,6 +1173,38 @@ def f60_trailing_dot() -> bytes:
     return simple_doc(b"BT /F1 12 Tf 72. -.5 Td (TrailDot) Tj ET", HELV)
 
 
+def f61_xref_w0_free() -> bytes:
+    """xref stream with W=[0 2 1]: the spec (7.5.8.3) says an absent type
+    field defaults to 1 (in-use), but the reference unpacks W[0]=0 bytes
+    to the integer 0 (pdf.py:632-645) -> EVERY row reads as FREE -> all
+    objects unfindable -> doc-level ValueError -> no text at all."""
+    header = b"%PDF-1.5\n"
+    out = bytearray(header)
+    offsets = {}
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        3: HELV,
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+    }
+    for oid in (1, 2, 3, 4):
+        offsets[oid] = len(out)
+        out += b"%d 0 obj\n" % oid + bodies[oid] + b"\nendobj\n"
+    offsets[5] = len(out)
+    out += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (W zero type) Tj ET")
+    xref_off = len(out)
+    rows = b""
+    for oid in range(7):
+        f2 = xref_off if oid == 6 else (offsets.get(oid, 0) if oid else 0)
+        rows += bytes([(f2 >> 8) & 0xFF, f2 & 0xFF, 0])
+    xdict = (b"/Type /XRef /Size 7 /W [0 2 1] /Root 1 0 R "
+             b"/Filter /FlateDecode")
+    out += _stream_obj(6, xdict, flate(rows))
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1234,6 +1266,7 @@ FIXTURES = {
     "f58_filter_array_flate": f58_filter_array_flate,
     "f59_bare_dot": f59_bare_dot,
     "f60_trailing_dot": f60_trailing_dot,
+    "f61_xref_w0_free": f61_xref_w0_free,
 }
 
 

@@ -458,7 +458,11 @@ def _xref_stream_rows(stm: StreamObj):
         for k in range(count):
             if off + rowsize > len(data):
                 raise PdfError("xref stream truncated")
-            f1 = field(w[0], off) if w[0] else 1  # default type 1 per spec
+            # reference parity (pdf.py:632-645, pinned by f61): the type
+            # field is unpacked from W[0] bytes, so W[0] == 0 yields type
+            # 0 (FREE) for every row — NOT the spec's implicit type 1 —
+            # and the whole document dies with its objects unfindable
+            f1 = field(w[0], off)
             f2 = field(w[1], off + w[0])
             f3 = field(w[2], off + w[0] + w[1])
             rows.append((start + k, f1, f2, f3))

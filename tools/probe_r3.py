@@ -330,5 +330,43 @@ PROBES["bare_dot"] = p_bare_dot
 PROBES["trailing_dot"] = p_trailing_dot
 
 
+
+
+def p_xref_w0() -> bytes:
+    """xref stream with W=[0 2 1]: the type field is absent, so every row
+    is implicitly type 1 (spec 7.5.8.3)."""
+    from fixtures.pdfgen import _stream_obj, flate
+    header = b"%PDF-1.5\n"
+    out = bytearray(header)
+    offsets = {}
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        3: HELV,
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+    }
+    for oid in (1, 2, 3, 4):
+        offsets[oid] = len(out)
+        out += b"%d 0 obj\n" % oid + bodies[oid] + b"\nendobj\n"
+    offsets[5] = len(out)
+    out += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (W zero type) Tj ET")
+    xref_off = len(out)
+    rows = b""
+    for oid in range(7):
+        f2 = offsets.get(oid, 0) if oid else 0
+        if oid == 6:
+            f2 = xref_off
+        rows += bytes([(f2 >> 8) & 0xFF, f2 & 0xFF, 0])
+    xdict = (b"/Type /XRef /Size 7 /W [0 2 1] /Root 1 0 R "
+             b"/Filter /FlateDecode")
+    out += _stream_obj(6, xdict, flate(rows))
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
+PROBES["xref_w0"] = p_xref_w0
+
+
 if __name__ == "__main__":
     main()
