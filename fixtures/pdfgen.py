@@ -1205,6 +1205,15 @@ def f61_xref_w0_free() -> bytes:
     return bytes(out)
 
 
+def f62_missing_eof() -> bytes:
+    """Document with the final %%EOF marker stripped: the reference's
+    startxref tail-finder demands exactly startxref / INT / %%EOF
+    (parser/__init__.py:104-106) and raises at DOC level -> no text."""
+    data = simple_doc(b"BT /F1 12 Tf 72 720 Td (No EOF) Tj ET", HELV)
+    assert data.endswith(b"%%EOF\n")
+    return data[: -len(b"%%EOF\n")]
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1267,6 +1276,7 @@ FIXTURES = {
     "f59_bare_dot": f59_bare_dot,
     "f60_trailing_dot": f60_trailing_dot,
     "f61_xref_w0_free": f61_xref_w0_free,
+    "f62_missing_eof": f62_missing_eof,
 }
 
 

@@ -509,6 +509,13 @@ class PdfDocument:
         t = sc.next_token()
         if t[0] != "int":
             raise PdfError("startxref offset missing")
+        # reference parity (parser/__init__.py:104-106, pinned by f62):
+        # the file tail must read exactly startxref / INT / %%EOF — a
+        # missing or displaced %%EOF marker is a DOC-level failure, not a
+        # recoverable quirk
+        rest = sc.data[sc.pos:]
+        if not rest.lstrip(WHITESPACE).startswith(b"%%EOF"):
+            raise PdfError("%%EOF marker missing after startxref")
         return t[1]
 
     def _walk_xref_chain(self) -> None:

@@ -368,5 +368,17 @@ def p_xref_w0() -> bytes:
 PROBES["xref_w0"] = p_xref_w0
 
 
+
+
+def p_no_eof_marker() -> bytes:
+    """Document whose %%EOF marker is missing entirely."""
+    data = simple_doc(b"BT /F1 12 Tf 72 720 Td (No EOF) Tj ET", HELV)
+    assert data.endswith(b"%%EOF\n")
+    return data[: -len(b"%%EOF\n")]
+
+
+PROBES["no_eof_marker"] = p_no_eof_marker
+
+
 if __name__ == "__main__":
     main()
