@@ -1214,6 +1214,71 @@ def f62_missing_eof() -> bytes:
     return data[: -len(b"%%EOF\n")]
 
 
+def f63_xref_two_subsections() -> bytes:
+    """Plaintext xref with TWO subsections (0 3 / 4 3): the reference's
+    consolidator consumes only the first, so objects 4-6 are unfindable
+    -> doc-level raise -> no text (we previously read all subsections —
+    divergence fixed)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 6 0 R >> >> /Contents 5 0 R >>"),
+        6: HELV,
+    }
+    for oid in (1, 2, 4, 6):
+        offsets[oid] = len(out)
+        out += _obj(oid, bodies[oid])
+    offsets[5] = len(out)
+    out += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Two subsections) Tj ET")
+    xref_off = len(out)
+    out += b"xref\n0 3\n0000000000 65535 f \n"
+    out += b"%010d 00000 n \n" % offsets[1]
+    out += b"%010d 00000 n \n" % offsets[2]
+    out += b"4 3\n"
+    for oid in (4, 5, 6):
+        out += b"%010d 00000 n \n" % offsets[oid]
+    out += (b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % xref_off)
+    return bytes(out)
+
+
+def f64_xref_multi_index() -> bytes:
+    """xref STREAM with multi-part /Index [0 3 4 3]: StreamRows reads only
+    Index[0:2] (pdf.py:623-625), so the second part's objects never load
+    -> doc-level raise -> no text (we previously read all parts —
+    divergence fixed)."""
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 6 0 R >> >> /Contents 5 0 R >>"),
+        6: HELV,
+    }
+    for oid in (1, 2, 4, 6):
+        offsets[oid] = len(out)
+        out += _obj(oid, bodies[oid])
+    offsets[5] = len(out)
+    out += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Multi index) Tj ET")
+    xref_off = len(out)
+
+    def row(t, f2, f3):
+        return bytes([t, (f2 >> 8) & 0xFF, f2 & 0xFF, f3])
+
+    rows = (row(0, 0, 255) + row(1, offsets[1], 0) + row(1, offsets[2], 0)
+            + row(1, offsets[4], 0) + row(1, offsets[5], 0)
+            + row(1, offsets[6], 0))
+    xdict = (b"/Type /XRef /Size 8 /W [1 2 1] /Index [0 3 4 3] /Root 1 0 R "
+             b"/Filter /FlateDecode")
+    out += _stream_obj(7, xdict, flate(rows))
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1277,6 +1342,8 @@ FIXTURES = {
     "f60_trailing_dot": f60_trailing_dot,
     "f61_xref_w0_free": f61_xref_w0_free,
     "f62_missing_eof": f62_missing_eof,
+    "f63_xref_two_subsections": f63_xref_two_subsections,
+    "f64_xref_multi_index": f64_xref_multi_index,
 }
 
 

@@ -391,34 +391,38 @@ def _parse_xref_table(data: bytes, pos: int):
     """Parse a plaintext xref section at ``pos``.  Returns
     (entries, trailer_dict, startxref_offset).
 
-    Unlike the reference (which consumes only the first subsection,
-    parser/pdf.py:240-281), all subsections are read — a deliberate
-    correctness improvement for real-corpus PDFs; no fixture depends on the
-    reference's limitation.
+    Reference parity (pinned by f63): ONLY THE FIRST subsection's rows
+    are consumed — the reference's consolidator takes one 'INT INT' header
+    plus its rows and silently ignores everything else before 'trailer'
+    (parser/pdf.py:240-281), so objects listed in later subsections are
+    unfindable and the document dies at first use.
     """
     sc = Scanner(data, pos)
     t = sc.next_token()
     if t != ("kw", "xref"):
         raise PdfError("expected 'xref' at %d" % pos)
     entries = []  # (objid, gen, offset, in_use)
+    t = sc.next_token()
+    if t[0] != "int":
+        raise PdfError("malformed xref subsection header: %r" % (t,))
+    t2 = sc.next_token()
+    if t2[0] != "int":
+        raise PdfError("malformed xref subsection header")
+    first, count = t[1], t2[1]
+    for k in range(count):
+        o = sc.next_token()
+        g = sc.next_token()
+        f = sc.next_token()
+        if o[0] != "int" or g[0] != "int" or f[0] != "kw" or f[1] not in "nf":
+            raise PdfError("malformed xref row")
+        entries.append((first + k, g[1], o[1], f[1] == "n"))
+    # skip-and-ignore anything else (later subsections) up to 'trailer'
     while True:
-        save = sc.pos
         t = sc.next_token()
         if t == ("kw", "trailer"):
             break
-        if t[0] != "int":
-            raise PdfError("malformed xref subsection header: %r" % (t,))
-        t2 = sc.next_token()
-        if t2[0] != "int":
-            raise PdfError("malformed xref subsection header")
-        first, count = t[1], t2[1]
-        for k in range(count):
-            o = sc.next_token()
-            g = sc.next_token()
-            f = sc.next_token()
-            if o[0] != "int" or g[0] != "int" or f[0] != "kw" or f[1] not in "nf":
-                raise PdfError("malformed xref row")
-            entries.append((first + k, g[1], o[1], f[1] == "n"))
+        if t[0] == "eof":
+            raise PdfError("xref section without trailer")
     p = Parser(data, sc.pos)
     trailer = p.parse_value()
     if not isinstance(trailer, dict):
@@ -434,8 +438,12 @@ def _parse_xref_table(data: bytes, pos: int):
 
 def _xref_stream_rows(stm: StreamObj):
     """Decode an xref stream (reference: pdf.py:599-660) into
-    (objid, type, f2, f3) rows.  Supports multi-part /Index (spec-correct;
-    the reference reads only Index[0:2])."""
+    (objid, type, f2, f3) rows.
+
+    Reference parity (pinned by f64): only Index[0:2] is read — the
+    reference's StreamRows uses Index[0] as the start and Index[1] as the
+    row count (pdf.py:623-625), so a multi-part /Index's later parts
+    never load and their objects are unfindable."""
     d = stm.dict
     w = d["W"]
     if len(w) != 3:
@@ -453,7 +461,7 @@ def _xref_stream_rows(stm: StreamObj):
             v = (v << 8) | data[off + k]
         return v
 
-    for part in range(0, len(index), 2):
+    for part in range(0, min(len(index), 2), 2):
         start, count = index[part], index[part + 1]
         for k in range(count):
             if off + rowsize > len(data):

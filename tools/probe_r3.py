@@ -380,5 +380,81 @@ def p_no_eof_marker() -> bytes:
 PROBES["no_eof_marker"] = p_no_eof_marker
 
 
+
+
+def p_xref_two_subsections() -> bytes:
+    """Plaintext xref with TWO subsections (0 3 and 4 2)."""
+    from fixtures.pdfgen import _obj, _stream_obj
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 6 0 R >> >> /Contents 5 0 R >>"),
+        6: HELV,
+    }
+    for oid in (1, 2):
+        offsets[oid] = len(out)
+        out += _obj(oid, bodies[oid])
+    for oid in (4, 6):
+        offsets[oid] = len(out)
+        out += _obj(oid, bodies[oid])
+    offsets[5] = len(out)
+    out += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Two subsections) Tj ET")
+    xref_off = len(out)
+    out += b"xref\n0 3\n"
+    out += b"0000000000 65535 f \n"
+    out += b"%010d 00000 n \n" % offsets[1]
+    out += b"%010d 00000 n \n" % offsets[2]
+    out += b"4 3\n"
+    out += b"%010d 00000 n \n" % offsets[4]
+    out += b"%010d 00000 n \n" % offsets[5]
+    out += b"%010d 00000 n \n" % offsets[6]
+    out += (b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % xref_off)
+    return bytes(out)
+
+
+PROBES["xref_two_subsections"] = p_xref_two_subsections
+
+
+
+
+def p_xref_multi_index() -> bytes:
+    """xref STREAM with multi-part /Index [0 3 4 3]."""
+    from fixtures.pdfgen import _stream_obj, flate, _obj
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 6 0 R >> >> /Contents 5 0 R >>"),
+        6: HELV,
+    }
+    for oid in (1, 2, 4, 6):
+        offsets[oid] = len(out)
+        out += _obj(oid, bodies[oid])
+    offsets[5] = len(out)
+    out += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Multi index) Tj ET")
+    xref_off = len(out)
+
+    def row(t, f2, f3):
+        return bytes([t, (f2 >> 8) & 0xFF, f2 & 0xFF, f3])
+
+    rows = (row(0, 0, 255) + row(1, offsets[1], 0) + row(1, offsets[2], 0)
+            + row(1, offsets[4], 0) + row(1, offsets[5], 0)
+            + row(1, offsets[6], 0))
+    xdict = (b"/Type /XRef /Size 8 /W [1 2 1] /Index [0 3 4 3] /Root 1 0 R "
+             b"/Filter /FlateDecode")
+    out += _stream_obj(7, xdict, flate(rows))
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
+PROBES["xref_multi_index"] = p_xref_multi_index
+
+
 if __name__ == "__main__":
     main()
