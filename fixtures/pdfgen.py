@@ -1279,6 +1279,39 @@ def f64_xref_multi_index() -> bytes:
     return bytes(out)
 
 
+def _length_doc(length_field: bytes) -> bytes:
+    """1-page doc whose content stream dict is exactly ``length_field``."""
+    content = b"BT /F1 12 Tf 72 720 Td (Length case) Tj ET"
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_raw(5, b"5 0 obj\n<< " + length_field + b" >>\nstream\n" + content
+                 + b"\nendstream\nendobj\n")
+    return f.build(1)
+
+
+def f65_length_short() -> bytes:
+    """/Length smaller than the stream: the reference yanks exactly that
+    many bytes and resumes LEXING inside the stream remnant -> t_error ->
+    page drop (no scan-for-endstream recovery exists)."""
+    return _length_doc(b"/Length 10")
+
+
+def f66_length_long() -> bytes:
+    """/Length larger than the stream: the yank swallows endstream and the
+    lexer dies in the following bytes -> page drop."""
+    return _length_doc(b"/Length 200")
+
+
+def f67_length_missing() -> bytes:
+    """No /Length at all: the two-pass loader re-reads the dict and
+    KeyErrors on 'Length' (parser/__init__.py:401) -> page drop."""
+    return _length_doc(b"/X 1")
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1344,6 +1377,9 @@ FIXTURES = {
     "f62_missing_eof": f62_missing_eof,
     "f63_xref_two_subsections": f63_xref_two_subsections,
     "f64_xref_multi_index": f64_xref_multi_index,
+    "f65_length_short": f65_length_short,
+    "f66_length_long": f66_length_long,
+    "f67_length_missing": f67_length_missing,
 }
 
 

@@ -352,26 +352,16 @@ class Parser:
                 if self.doc is None:
                     raise PdfError("indirect /Length with no document context")
                 length = self.doc.get(length)
-            if isinstance(length, int) and 0 <= length <= len(data) - i:
-                raw = data[i : i + length]
-                j = i + length
-                # tolerate EOL before endstream
-                while j < len(data) and data[j] in b"\r\n":
-                    j += 1
-                if data[j : j + 9] != b"endstream":
-                    # /Length disagreed with reality: recover by scanning
-                    end = data.find(b"endstream", i)
-                    if end < 0:
-                        raise PdfError("missing endstream for object %d" % objid)
-                    raw = data[i:end].rstrip(b"\r\n")
-                    j = end
-            else:
-                end = data.find(b"endstream", i)
-                if end < 0:
-                    raise PdfError("missing endstream for object %d" % objid)
-                raw = data[i:end].rstrip(b"\r\n")
-                j = end
-            self.sc.pos = j
+            # reference parity (pinned by f65-f67): /Length is trusted
+            # VERBATIM — exactly that many bytes are yanked
+            # (parser/pdf.py:147-170), a missing/non-int Length KeyErrors
+            # (parser/__init__.py:401), and a wrong value strands the
+            # lexer mid-stream where the next token is garbage -> raise.
+            # There is NO scan-for-endstream recovery in the reference.
+            if not isinstance(length, int) or length < 0:
+                raise PdfError("stream /Length missing or invalid")
+            raw = data[i : i + length]
+            self.sc.pos = min(i + length, len(data))
             t = self.sc.next_token()
             if t != ("kw", "endstream"):
                 raise PdfError("expected endstream, got %r" % (t,))

@@ -86,11 +86,20 @@ def test_indirect_object_with_stream():
     assert val.raw == b"abcde"
 
 
-def test_stream_length_recovery():
-    # wrong /Length: recover by scanning for endstream
-    data = b"7 0 obj\n<< /Length 999 >>\nstream\nabcde\nendstream\nendobj\n"
-    _, _, val = Parser(data).parse_indirect_object()
+def test_stream_length_strict():
+    """Reference parity (r03, f65-f67): /Length is trusted verbatim — a
+    wrong or missing value raises instead of scanning for endstream
+    (parser/pdf.py:147-170; parser/__init__.py:401 KeyError)."""
+    ok = b"7 0 obj\n<< /Length 5 >>\nstream\nabcde\nendstream\nendobj\n"
+    _, _, val = Parser(ok).parse_indirect_object()
     assert val.raw == b"abcde"
+    for bad in (
+        b"7 0 obj\n<< /Length 999 >>\nstream\nabcde\nendstream\nendobj\n",
+        b"7 0 obj\n<< /Length 2 >>\nstream\nabcde\nendstream\nendobj\n",
+        b"7 0 obj\n<< /X 1 >>\nstream\nabcde\nendstream\nendobj\n",
+    ):
+        with pytest.raises(PdfError):
+            Parser(bad).parse_indirect_object()
 
 
 def test_unterminated_raises():

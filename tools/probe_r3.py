@@ -456,5 +456,38 @@ def p_xref_multi_index() -> bytes:
 PROBES["xref_multi_index"] = p_xref_multi_index
 
 
+
+
+def _length_doc(length_field: bytes) -> bytes:
+    content = b"BT /F1 12 Tf 72 720 Td (Length case) Tj ET"
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    d = b"<< " + length_field + b" >>"
+    f.add_raw(5, b"5 0 obj\n" + d + b"\nstream\n" + content
+                 + b"\nendstream\nendobj\n")
+    return f.build(1)
+
+
+def p_length_short() -> bytes:
+    return _length_doc(b"/Length 10")
+
+
+def p_length_long() -> bytes:
+    return _length_doc(b"/Length 200")
+
+
+def p_length_missing() -> bytes:
+    return _length_doc(b"/X 1")
+
+
+PROBES["length_short"] = p_length_short
+PROBES["length_long"] = p_length_long
+PROBES["length_missing"] = p_length_missing
+
+
 if __name__ == "__main__":
     main()
