@@ -1312,6 +1312,30 @@ def f67_length_missing() -> bytes:
     return _length_doc(b"/X 1")
 
 
+def f68_no_endobj() -> bytes:
+    """Stream object missing its endobj keyword: tolerated by both engines
+    (the reference's object loader stops at endstream) -> extracts."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    content = b"BT /F1 12 Tf 72 720 Td (No endobj) Tj ET"
+    f.add_raw(5, b"5 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+                 + content + b"\nendstream\n")
+    return f.build(1)
+
+
+def f69_double_backslash_paren() -> bytes:
+    r"""Literal containing \\( — an escaped backslash followed by a real
+    paren: the reference's literal splitter dies in its own NameError
+    ('lis' undefined, __init__.py SplitLiteral escape branch) -> page
+    drop; the engine's strict escape handling drops the page too."""
+    c = b"BT /F1 12 Tf 72 720 Td (AB\\\\(CD) EF) Tj ET"
+    return simple_doc(c, HELV)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1380,6 +1404,8 @@ FIXTURES = {
     "f65_length_short": f65_length_short,
     "f66_length_long": f66_length_long,
     "f67_length_missing": f67_length_missing,
+    "f68_no_endobj": f68_no_endobj,
+    "f69_double_backslash_paren": f69_double_backslash_paren,
 }
 
 

@@ -489,5 +489,33 @@ PROBES["length_long"] = p_length_long
 PROBES["length_missing"] = p_length_missing
 
 
+
+
+def p_no_endobj() -> bytes:
+    """Content stream object missing its endobj keyword."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    content = b"BT /F1 12 Tf 72 720 Td (No endobj) Tj ET"
+    f.add_raw(5, b"5 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+                 + content + b"\nendstream\n")  # no endobj
+    return f.build(1)
+
+
+def p_double_backslash_paren() -> bytes:
+    r"""Literal (AB\\(CD) EF): run-counting says '(' after \\ is REAL
+    (depth+1, literal ends after EF); single-char lookback says it is
+    escaped (literal ends at the ')' after CD)."""
+    c = b"BT /F1 12 Tf 72 720 Td (AB\\\\(CD) EF) Tj ET"
+    return simple_doc(c, HELV)
+
+
+PROBES["no_endobj"] = p_no_endobj
+PROBES["double_backslash_paren"] = p_double_backslash_paren
+
+
 if __name__ == "__main__":
     main()
