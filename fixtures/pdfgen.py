@@ -1336,6 +1336,16 @@ def f69_double_backslash_paren() -> bytes:
     return simple_doc(c, HELV)
 
 
+def f70_bad_literal_leak() -> bytes:
+    r"""Draws 'Good' before the \\\\( literal fails at DRAW time: the
+    partial buffer leaks into clean page 2 (no newline: same buffer
+    fold) -> golden '\nGoodClean' in both engines."""
+    c1 = (b"BT /F1 12 Tf 72 720 Td (Good) Tj ET\n"
+          b"BT /F1 12 Tf 72 700 Td (AB\\\\(CD) EF) Tj ET")
+    c2 = b"BT /F1 12 Tf 72 720 Td (Clean) Tj ET"
+    return simple_doc(None, HELV, n_pages=2, contents_per_page=[c1, c2])
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1406,6 +1416,7 @@ FIXTURES = {
     "f67_length_missing": f67_length_missing,
     "f68_no_endobj": f68_no_endobj,
     "f69_double_backslash_paren": f69_double_backslash_paren,
+    "f70_bad_literal_leak": f70_bad_literal_leak,
 }
 
 

@@ -517,5 +517,19 @@ PROBES["no_endobj"] = p_no_endobj
 PROBES["double_backslash_paren"] = p_double_backslash_paren
 
 
+
+
+def p_dbp_leak() -> bytes:
+    """Draws 'Good' BEFORE the bad double-backslash literal; clean page 2:
+    does 'Good' leak into page 2 (draw-time failure) or not (lex-time)?"""
+    c1 = (b"BT /F1 12 Tf 72 720 Td (Good) Tj ET\n"
+          b"BT /F1 12 Tf 72 700 Td (AB\\\\(CD) EF) Tj ET")
+    c2 = b"BT /F1 12 Tf 72 720 Td (Clean) Tj ET"
+    return simple_doc(None, HELV, n_pages=2, contents_per_page=[c1, c2])
+
+
+PROBES["dbp_leak"] = p_dbp_leak
+
+
 if __name__ == "__main__":
     main()
