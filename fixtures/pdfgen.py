@@ -1346,6 +1346,50 @@ def f70_bad_literal_leak() -> bytes:
     return simple_doc(None, HELV, n_pages=2, contents_per_page=[c1, c2])
 
 
+def _enc_doc(enc_inline: bytes | None, enc_obj: bytes | None) -> bytes:
+    """TrueType font showing (AB); /Encoding inline or as object 6."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    encref = enc_inline if enc_inline else b"6 0 R"
+    f.add(3, b"<< /Type /Font /Subtype /TrueType /BaseFont /Helvetica "
+             b"/FirstChar 65 /LastChar 66 /Widths [556 556] "
+             b"/Encoding " + encref + b" >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (AB) Tj ET")
+    if enc_obj:
+        f.add(6, enc_obj)
+    return f.build(1)
+
+
+def f71_enc_inline_dict() -> bytes:
+    """INLINE /Encoding dict: only indirect values route through
+    GetFontEncoding into a FontEncoding (parser/__init__.py:847-854); an
+    inline dict stays a raw Dictionary and the glyph dispatch TypeErrors
+    -> page drop (we previously accepted any dict — divergence fixed)."""
+    return _enc_doc(b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+                    b"/Differences [66 /C] >>", None)
+
+
+def f72_enc_float_differences() -> bytes:
+    """Indirect Encoding whose /Differences starts with the FLOAT 66.0:
+    the type check is type(item) == int (fontcache.py:496-514), so 66.0
+    is consumed as a glyph NAME at code 0 and code 66 keeps WinAnsi 'B'
+    -> '\nAB' (we previously coerced floats to codes -> '\nAC' —
+    divergence fixed)."""
+    return _enc_doc(None, b"<< /Type /Encoding /BaseEncoding "
+                          b"/WinAnsiEncoding /Differences [66.0 /C] >>")
+
+
+def f73_enc_indirect_no_type() -> bytes:
+    """Indirect Encoding dict WITHOUT /Type /Encoding: GetFontEncoding's
+    StupidObjectParser never checks /Type, so it still becomes a
+    FontEncoding and the Differences apply -> '\nAC'."""
+    return _enc_doc(None, b"<< /BaseEncoding /WinAnsiEncoding "
+                          b"/Differences [66 /C] >>")
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1417,6 +1461,9 @@ FIXTURES = {
     "f68_no_endobj": f68_no_endobj,
     "f69_double_backslash_paren": f69_double_backslash_paren,
     "f70_bad_literal_leak": f70_bad_literal_leak,
+    "f71_enc_inline_dict": f71_enc_inline_dict,
+    "f72_enc_float_differences": f72_enc_float_differences,
+    "f73_enc_indirect_no_type": f73_enc_indirect_no_type,
 }
 
 

@@ -22,7 +22,7 @@ Quirk parity (SURVEY.md §2.6, §4.1):
 from __future__ import annotations
 
 from . import afm
-from .cos import PdfError, Scanner, StreamObj
+from .cos import PdfError, Ref, Scanner, StreamObj
 from .encodings import encoding_map, glyph_to_unicode
 
 
@@ -219,14 +219,15 @@ def cid_width_array_to_map(arr: list) -> dict[int, float]:
 
 
 def differences_array_to_map(arr: list) -> dict[int, str]:
-    """/Differences: int sets the next code; names auto-increment."""
+    """/Differences: int sets the next code; EVERYTHING else (names —
+    and, reference parity, even stray floats: the type check is
+    ``type(item) == int``, fontcache.py:496-514, pinned by f72) is
+    assigned as a glyph name at the auto-incremented code."""
     out: dict[int, str] = {}
     code = 0
     for item in arr or []:
         if isinstance(item, int):
             code = item
-        elif isinstance(item, float):
-            code = int(item)
         else:
             out[code] = item
             code += 1
@@ -273,10 +274,16 @@ class FontResolver:
         elif subtype == "Type1":
             g = self._glyph_type1(font, cid)
         else:
-            enc = self.doc.resolve(font.get("Encoding"))
+            raw_enc = font.get("Encoding")
+            enc = self.doc.resolve(raw_enc)
             if isinstance(enc, str):
                 g = self._glyph_enc_str(font, cid)
-            elif isinstance(enc, dict):
+            elif isinstance(enc, dict) and isinstance(raw_enc, Ref):
+                # dict-Encoding path requires an INDIRECT value: only
+                # indirect /Encoding routes through GetFontEncoding and
+                # becomes a FontEncoding (parser/__init__.py:847-854); an
+                # INLINE dict stays a raw Dictionary and the dispatch
+                # TypeErrors -> page drop (pinned by f71)
                 g = self._glyph_enc_dict(font, cid)
             else:
                 raise FontError(

@@ -531,5 +531,63 @@ def p_dbp_leak() -> bytes:
 PROBES["dbp_leak"] = p_dbp_leak
 
 
+
+
+def p_differences_float() -> bytes:
+    """/Differences [65.0 /A]: a FLOAT start code — int-typed check only?"""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, b"<< /Type /Font /Subtype /TrueType /BaseFont /Helvetica "
+             b"/FirstChar 65 /LastChar 65 /Widths [556] "
+             b"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+             b"/Differences [65.0 /B] >> >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (A) Tj ET")
+    return f.build(1)
+
+
+PROBES["differences_float"] = p_differences_float
+
+
+
+
+def _enc_doc(enc_inline: bytes | None, enc_obj: bytes | None) -> bytes:
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    encref = enc_inline if enc_inline else b"6 0 R"
+    f.add(3, b"<< /Type /Font /Subtype /TrueType /BaseFont /Helvetica "
+             b"/FirstChar 65 /LastChar 66 /Widths [556 556] "
+             b"/Encoding " + encref + b" >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (AB) Tj ET")
+    if enc_obj:
+        f.add(6, enc_obj)
+    return f.build(1)
+
+
+def p_enc_inline_dict() -> bytes:
+    return _enc_doc(b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+                    b"/Differences [66 /C] >>", None)
+
+
+def p_enc_indirect_float_diff() -> bytes:
+    return _enc_doc(None, b"<< /Type /Encoding /BaseEncoding "
+                          b"/WinAnsiEncoding /Differences [66.0 /C] >>")
+
+
+def p_enc_indirect_no_type() -> bytes:
+    return _enc_doc(None, b"<< /BaseEncoding /WinAnsiEncoding "
+                          b"/Differences [66 /C] >>")
+
+
+PROBES["enc_inline_dict"] = p_enc_inline_dict
+PROBES["enc_indirect_float_diff"] = p_enc_indirect_float_diff
+PROBES["enc_indirect_no_type"] = p_enc_indirect_no_type
+
+
 if __name__ == "__main__":
     main()
