@@ -1390,6 +1390,246 @@ def f73_enc_indirect_no_type() -> bytes:
                           b"/Differences [66 /C] >>")
 
 
+# --- round 4: Flate DecodeParms / predictor strict surface + content
+# --- text-lexer character classes (probed via tools/probe_r3.py) ---------
+
+def _flate_parms_doc(dict_extra: bytes, data: bytes,
+                     extra_objs: list | None = None) -> bytes:
+    """One page whose content stream carries the given filter dict."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, dict_extra, data)
+    for oid, body in (extra_objs or []):
+        f.add(oid, body)
+    return f.build(1)
+
+
+_PRED_CONTENT = b"BT /F1 12 Tf 72 720 Td (Pred text) Tj ET"
+
+
+def _pred12_rows(content: bytes, col: int, row0_tag: int = 2,
+                 bad_row: int | None = None) -> bytes:
+    """PNG-Up(2)-encode content into col-byte rows (space-padded)."""
+    pad = (-len(content)) % col
+    body = content + b" " * pad
+    rows = [body[i:i + col] for i in range(0, len(body), col)]
+    out = bytearray()
+    prev = bytes(col)
+    for i, r in enumerate(rows):
+        tag = row0_tag if i == 0 else 2
+        if bad_row is not None and i == bad_row:
+            tag = 0
+        out.append(tag)
+        out.extend((b - p) % 256 for b, p in zip(r, prev))
+        prev = r
+    return flate(bytes(out))
+
+
+def f74_parms_no_predictor() -> bytes:
+    """DecodeParms present WITHOUT /Predictor: the reference requires the
+    key (decoder/flate.py:20-21 KeyError) -> page drop."""
+    return _flate_parms_doc(
+        b"/Filter /FlateDecode /DecodeParms << /Columns 5 >>",
+        flate(_PRED_CONTENT))
+
+
+def f75_parms_predictor1() -> bytes:
+    """Predictor 1 ('no predictor' per spec) is NOT the reference's
+    no-predictor value (that is 0): flate.py:36 NotImplementedError."""
+    return _flate_parms_doc(
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 1 >>",
+        flate(_PRED_CONTENT))
+
+
+def f76_parms_predictor0() -> bytes:
+    """Predictor 0 control: decodes and extracts."""
+    return _flate_parms_doc(
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 0 >>",
+        flate(_PRED_CONTENT))
+
+
+def f77_pred12_content_pad() -> bytes:
+    """Predictor-12 CONTENT stream: PNG_Up allocates len(data) output
+    bytes but writes nrows*col (decoder/flate.py:88), so the decoded
+    stream carries nrows trailing NULs — which the text lexer has no rule
+    for (t_error 'Bad character ord=0') -> page drop.  Every predictor-12
+    content stream drops this way in the reference."""
+    return _flate_parms_doc(
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 8 >>",
+        _pred12_rows(_PRED_CONTENT, 8))
+
+
+def f78_pred12_tag_change() -> bytes:
+    """Row tag != 2 after row 0 -> flate.py:105-107 ValueError drop."""
+    return _flate_parms_doc(
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 8 >>",
+        _pred12_rows(_PRED_CONTENT, 8, bad_row=2))
+
+
+def f79_pred12_no_columns() -> bytes:
+    """Predictor 12 without /Columns -> flate.py:77-78 ValueError drop."""
+    return _flate_parms_doc(
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 >>",
+        _pred12_rows(_PRED_CONTENT, 8))
+
+
+def f80_parms_nondict() -> bytes:
+    """Page 1: DecodeParms is an ARRAY ('Predictor' not in Array ->
+    KeyError).  Page 2: DecodeParms is an INDIRECT ref — pdf.py:459 passes
+    it verbatim, so 'in' raises TypeError.  Both pages drop."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R 6 0 R] /Count 2 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"/Filter /FlateDecode /DecodeParms [ << /Predictor 0 >> ]",
+                 flate(_PRED_CONTENT))
+    f.add(6, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 7 0 R >>")
+    f.add_stream(7, b"/Filter /FlateDecode /DecodeParms 8 0 R",
+                 flate(_PRED_CONTENT))
+    f.add(8, b"<< /Predictor 0 >>")
+    return f.build(1)
+
+
+def f81_content_unspaced_ops() -> bytes:
+    """Operators glued to numbers/operators lex fine in the reference:
+    PLY tries FLOAT/INT then per-operator rules at every position, so
+    'q1' is q + INT 1, '0cm' is INT 0 + cm, 'ETq' is ET + q."""
+    return simple_doc(b"q1 0 0 1 0 0cm BT /F1 12 Tf 72 720 Td "
+                      b"(Unspaced ops) Tj ETq Q", HELV)
+
+
+def f82_content_comment() -> bytes:
+    """'%' has NO rule in the content text lexer (no comment folding,
+    parser/text.py) -> t_error -> page drop."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (Commented) Tj ET "
+                      b"% trailing comment", HELV)
+
+
+def f83_content_nul_ff() -> bytes:
+    """Page 1: standalone NUL after ET; page 2: \\x0c between operands.
+    Neither byte is whitespace to the text lexer (t_WS is [\\t \\r\\n]
+    only) -> t_error -> both pages drop."""
+    return simple_doc(None, HELV, n_pages=2, contents_per_page=[
+        b"BT /F1 12 Tf 72 720 Td (NulByte) Tj ET \x00",
+        b"BT /F1 12 Tf \x0c 72 720 Td (FormFeed) Tj ET",
+    ])
+
+
+def f84_content_float_chain() -> bytes:
+    """'12.5.6' lexes as FLOAT 12.5 + FLOAT .6 (t_FLOAT can't span two
+    dots), leaving Td with 3 operands -> regrouper skipped-token
+    ValueError (text.py:610) -> page drop."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (Chain) Tj "
+                      b"12.5.6 0 Td (After) Tj ET", HELV)
+
+
+def _xrefstream_doc(row0_tag: int = 2, parms_extra: bytes = b"") -> bytes:
+    """f05 variant generator with tweakable predictor encoding."""
+    header = b"%PDF-1.5\n"
+    out = bytearray(header)
+    offsets = {}
+    offsets[5] = len(out)
+    out += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Tagged rows) Tj ET")
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, HELV),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+    ]
+    bodies = b""
+    offs = []
+    for oid, body in inner:
+        offs.append((oid, len(bodies)))
+        bodies += body + b" "
+    index = b" ".join(b"%d %d" % (o, off) for o, off in offs) + b" "
+    objstm_data = index + bodies
+    offsets[6] = len(out)
+    out += _stream_obj(
+        6, b"/Type /ObjStm /N %d /First %d" % (len(inner), len(index)),
+        objstm_data)
+    xref_off = len(out)
+
+    def row(t, f2, f3):
+        return bytes([t, (f2 >> 8) & 0xFF, f2 & 0xFF, f3])
+
+    rows = [
+        row(0, 0, 255),
+        row(2, 6, 0), row(2, 6, 1), row(2, 6, 2), row(2, 6, 3),
+        row(1, offsets[5], 0), row(1, offsets[6], 0),
+        row(1, xref_off, 0),
+    ]
+    enc = bytearray()
+    prev = bytes(4)
+    for i, r in enumerate(rows):
+        enc.append(row0_tag if i == 0 else 2)
+        enc.extend((b - p) % 256 for b, p in zip(r, prev))
+        prev = r
+    xdata = flate(bytes(enc))
+    xdict = (
+        b"/Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R "
+        b"/Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 12 /Columns 4 %s>>" % parms_extra
+    )
+    out += _stream_obj(7, xdict, xdata)
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
+def f85_xref_row0_tag() -> bytes:
+    """xref stream whose PNG-Up row 0 carries tag 7: the reference checks
+    tags only for r > 0 (flate.py:105 'if r > 0 and ...'), so the doc
+    loads and extracts normally — and the nrows of trailing NUL padding
+    are ignored by the Index-count-limited row reader."""
+    return _xrefstream_doc(row0_tag=7)
+
+
+def f86_xref_colors_ignored() -> bytes:
+    """DecodeParms carries /Colors 3 /BitsPerComponent 8: the reference
+    PNG_Up never reads either (Columns is the RAW byte width), so the
+    xref stream decodes as if they were absent."""
+    return _xrefstream_doc(parms_extra=b"/Colors 3 /BitsPerComponent 8 ")
+
+
+def f87_td_after_draw() -> bytes:
+    """The reference has NO independent text line matrix: TextState.Tm is
+    a property whose setter aliases Tlm (state.py:364 ``self._Tm =
+    self._Tlm = v``), so glyph advances move Tlm too and Td/T* translate
+    from the END of the previous show.  With Tm.b != 0 the advance shifts
+    y, so '0 0 Td' lands each string on a NEW line ('\\nA\\nB\\nC'); a
+    spec-style separate line matrix would put all three at the same y."""
+    return simple_doc(b"BT /F1 12 Tf 1 1 0 1 100 300 Tm (A) Tj "
+                      b"0 0 Td (B) Tj 0 0 Td (C) Tj ET", HELV)
+
+
+_TF_INF = b"9" * 320 + b".0"           # float() == inf
+_TF_NEARMAX = b"17" + b"9" * 306 + b".0"  # ~1.79e308, finite
+
+
+def f88_tf_inf() -> bytes:
+    """Tf = inf: the first advance makes Tm.E/F nonfinite (tx*b with
+    b == 0 gives NaN in Tm.F), later strings in the SAME text object draw
+    at NaN -> newline per glyph; the Tf 12 reset still inherits the
+    poisoned matrix through Td."""
+    return simple_doc(b"BT /F1 " + _TF_INF + b" Tf 72 720 Td (AB) Tj "
+                      b"0 0 Td (CD) Tj /F1 12 Tf 10 10 Td (EF) Tj ET", HELV)
+
+
+def f89_tf_nearmax() -> bytes:
+    """Tf huge-but-finite: Tm.E overflows to inf mid-string by
+    ACCUMULATION (each tx finite), exercising the fast-path bail-out where
+    tf must stay exact."""
+    return simple_doc(b"BT /F1 " + _TF_NEARMAX + b" Tf 72 720 Td (ABCDE) "
+                      b"Tj /F1 12 Tf 5 5 Td (After) Tj ET", HELV)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1464,6 +1704,22 @@ FIXTURES = {
     "f71_enc_inline_dict": f71_enc_inline_dict,
     "f72_enc_float_differences": f72_enc_float_differences,
     "f73_enc_indirect_no_type": f73_enc_indirect_no_type,
+    "f74_parms_no_predictor": f74_parms_no_predictor,
+    "f75_parms_predictor1": f75_parms_predictor1,
+    "f76_parms_predictor0": f76_parms_predictor0,
+    "f77_pred12_content_pad": f77_pred12_content_pad,
+    "f78_pred12_tag_change": f78_pred12_tag_change,
+    "f79_pred12_no_columns": f79_pred12_no_columns,
+    "f80_parms_nondict": f80_parms_nondict,
+    "f81_content_unspaced_ops": f81_content_unspaced_ops,
+    "f82_content_comment": f82_content_comment,
+    "f83_content_nul_ff": f83_content_nul_ff,
+    "f84_content_float_chain": f84_content_float_chain,
+    "f85_xref_row0_tag": f85_xref_row0_tag,
+    "f86_xref_colors_ignored": f86_xref_colors_ignored,
+    "f87_td_after_draw": f87_td_after_draw,
+    "f88_tf_inf": f88_tf_inf,
+    "f89_tf_nearmax": f89_tf_nearmax,
 }
 
 

@@ -15,6 +15,8 @@ the reference's RenderPages does (__init__.py:287-296).
 
 from __future__ import annotations
 
+import re as _re_mod
+
 from .cos import LitStr, PdfError, Scanner
 
 
@@ -85,16 +87,73 @@ for _n in ("cm", "c", "Tm"):
 # TJ: one array operand; d: array + number; SC/sc/SCN/scn: variadic.
 
 
+_FLOAT_RE = _re_mod.compile(r"[+-]?[0-9]*\.[0-9]*")
+_INT_RE = _re_mod.compile(r"[+-]?[0-9]+")
+
+
+def _split_run(run: str) -> list:
+    """PLY master-regex emulation over one delimiter-free keyword run.
+
+    The reference's text lexer (parser/text.py) has no generic keyword
+    rule: PLY tries the function rules t_FLOAT / t_INT first, then the
+    per-operator string rules longest-regex-first, at EVERY position — so
+    'ETBT' lexes as two operators, 'q1' as q + INT 1, and an unmatched
+    byte (NUL, \\x0c, '%', '{', an unknown operator letter) hits t_error
+    and drops the page (text.py:229-231).  Probed round 4 (tools/
+    probe_r3.py run_unspaced/run_nul/...).  Runs that are a single known
+    operator (the overwhelmingly common case) bypass this via the _OPS
+    fast path in tokenize_content.
+    """
+    out = []
+    i, n = 0, len(run)
+    while i < n:
+        m = _FLOAT_RE.match(run, i)
+        if m and m.group():
+            try:
+                out.append(("float", float(m.group())))
+            except ValueError:
+                raise ContentError(
+                    "malformed number %r in content stream (reference "
+                    "t_FLOAT ValueError)" % m.group()
+                ) from None
+            i = m.end()
+            continue
+        m = _INT_RE.match(run, i)
+        if m:
+            out.append(("int", int(m.group())))
+            i = m.end()
+            continue
+        for L in (3, 2, 1):
+            op = run[i:i + L]
+            if op in _OPS:
+                out.append(("kw", op))
+                i += L
+                break
+        else:
+            raise ContentError(
+                "bad character %r in content stream (reference t_error)"
+                % run[i]
+            )
+    return out
+
+
 def tokenize_content(data: bytes) -> list[Op]:
     """Tokenize + regroup a decoded content stream."""
-    sc = Scanner(data)
+    sc = Scanner(data, content=True)
     stack: list = []
     ops: list[Op] = []
+    pending: list = []
     while True:
-        try:
-            kind, val = sc.next_token()
-        except PdfError as e:
-            raise ContentError(str(e)) from None
+        if pending:
+            kind, val = pending.pop(0)
+        else:
+            try:
+                kind, val = sc.next_token()
+            except PdfError as e:
+                raise ContentError(str(e)) from None
+            if kind == "kw" and val not in _OPS:
+                pending = _split_run(val)
+                continue
         if kind == "eof":
             break
         if kind in ("int", "float", "name", "lit", "hex"):

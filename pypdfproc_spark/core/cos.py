@@ -118,6 +118,39 @@ _TOKEN_RE = _re.compile(
 _NONHEX_WS = bytes(WHITESPACE)
 _HEXDIGITS = frozenset(b"0123456789abcdefABCDEF")
 
+# Content-stream variant of the master token regex, mirroring the
+# reference's PLY text lexer (parser/text.py:114-239) instead of its COS
+# lexer.  Differences that are PARITY-OBSERVABLE (probed round 4):
+#  - whitespace is ONLY [\t\n\r ] (t_WS, text.py:233-239): NUL and \x0c
+#    are lexer errors there (t_error raise -> page drop), so they must NOT
+#    be folded; they fall into the kw class and fail operator lookup.
+#  - '%' starts no comment in content streams (no comment rule in
+#    text.py); it is a legal NAME/keyword character.
+#  - numbers follow t_FLOAT [-+]?\d*\.\d* THEN t_INT [-+]?\d+ exactly
+#    (function-rule order, text.py:207-216): '12.5.6' lexes as two floats,
+#    and a bare '.' matches FLOAT then dies in float() (ValueError -> page
+#    drop, pinned f59).
+#  - NAME body class is [^()<>\[\]/ \t\r\n]+ (text.py:218): '{' '}' '%'
+#    '#' NUL \x0c are legal name bytes in content.
+_TOKEN_RE_CONTENT = _re.compile(
+    rb"""
+    [\t\n\r ]*
+    (?:
+      (?P<flt>[+-]?[0-9]*\.[0-9]*)
+    | (?P<num>[+-]?[0-9]+)
+    | (?P<name>/[^()<>\[\]/\t\n\r ]+)
+    | (?P<dicto><<)
+    | (?P<hex><[^>]*>)
+    | (?P<dictc>>>)
+    | (?P<arro>\[)
+    | (?P<arrc>\])
+    | (?P<lito>\()
+    | (?P<kw>[^()<>\[\]/\t\n\r ]+)
+    )?
+    """,
+    _re.VERBOSE,
+)
+
 
 class Scanner:
     """Single-pass tokenizer over bytes.
@@ -127,11 +160,15 @@ class Scanner:
     xref trailer startxref n f or any content operator) 'eof'.
     """
 
-    __slots__ = ("data", "pos")
+    __slots__ = ("data", "pos", "_re")
 
-    def __init__(self, data: bytes, pos: int = 0):
+    def __init__(self, data: bytes, pos: int = 0, content: bool = False):
         self.data = data
         self.pos = pos
+        # content=True swaps in the reference text-lexer's character
+        # classes (see _TOKEN_RE_CONTENT above); COS parsing keeps the
+        # COS lexer's classes
+        self._re = _TOKEN_RE_CONTENT if content else _TOKEN_RE
 
     def peek_token(self):
         save = self.pos
@@ -141,7 +178,7 @@ class Scanner:
 
     def next_token(self):
         data, n = self.data, len(self.data)
-        m = _TOKEN_RE.match(data, self.pos)
+        m = self._re.match(data, self.pos)
         kind = m.lastgroup  # the pattern always matches (WS* + optional tok)
         if kind is not None:
             self.pos = m.end()
@@ -153,6 +190,17 @@ class Scanner:
                 except ValueError:
                     raise PdfError(
                         "malformed number %r at %d" % (text, m.start("num"))
+                    ) from None
+            if kind == "flt":
+                # content-mode only: reference t_FLOAT (text.py:207-211);
+                # float('.') / float('-.') raise there and kill the page
+                text = m.group("flt").decode("latin-1")
+                try:
+                    return ("float", float(text))
+                except ValueError:
+                    raise PdfError(
+                        "malformed number %r at %d (reference t_FLOAT "
+                        "ValueError)" % (text, m.start("flt"))
                     ) from None
             if kind == "name":
                 return ("name", m.group("name")[1:].decode("latin-1"))

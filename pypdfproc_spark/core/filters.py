@@ -99,6 +99,80 @@ def _tiff_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     return out.astype(np.uint8).tobytes()
 
 
+def _png_up_strict(data: bytes, col: int) -> bytes:
+    """Reference PNG_Up verbatim semantics (decoder/flate.py:38-121):
+
+    - ``Columns`` is the RAW byte count per row (Colors/BitsPerComponent
+      are never consulted);
+    - the row-0 predictor tag is ignored entirely, rows > 0 must carry
+      tag 2 or ValueError (the ``r > 0`` guard at flate.py:105-107);
+    - the output buffer is ``bytearray(len(data))`` (flate.py:88) but only
+      nrows*col bytes are written, so the result carries nrows TRAILING
+      NUL bytes.  That padding is observable: it kills predictor-12
+      content streams at the text lexer ("Bad character ord='0'", probed
+      round 4) and is ignored by the count-limited xref-stream row reader.
+    """
+    if not isinstance(col, int):
+        # reference: float/str Columns die on data[float_idx] (TypeError);
+        # bool passes (int subclass) exactly as it would there
+        raise DecodeError("PNG Up: non-integer Columns (reference drop)")
+    stride = col + 1
+    if stride <= 0 or len(data) % stride != 0:
+        raise DecodeError(
+            "Expected a multiple of col+1 bytes (%d) but got %d bytes "
+            "(reference ValueError)" % (stride, len(data))
+        )
+    nrows = len(data) // stride
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(nrows, stride)
+    if nrows > 1 and not bool(np.all(arr[1:, 0] == 2)):
+        raise DecodeError(
+            "PNG Up: predictor tag change after row 0 (reference ValueError)"
+        )
+    out = np.cumsum(arr[:, 1:].astype(np.int64), axis=0) % 256
+    return out.astype(np.uint8).tobytes() + b"\x00" * nrows
+
+
+def flate_decode_strict(data: bytes, parms, parms_present: bool) -> bytes:
+    """The reference's exact Flate surface (pdf.py:455-469 calling
+    decoder/flate.py:8-36), probed and fixture-pinned round 4:
+
+    - no DecodeParms key  -> {'Predictor': 0} is substituted (pdf.py:462)
+    - DecodeParms not a dict -> drop ('Predictor' not in Array gives the
+      KeyError raise; IndirectObject gives TypeError — never resolved)
+    - missing Predictor key  -> KeyError drop (flate.py:21)
+    - Predictor 0 -> plain zlib output; 12 -> strict PNG Up; EVERYTHING
+      else (including 1, 2, 10, 11, 13-15) -> NotImplementedError drop
+    """
+    try:
+        uncomp = zlib.decompress(data)
+    except zlib.error as e:
+        raise DecodeError("zlib: %s" % e) from None
+    if not parms_present:
+        return uncomp
+    if not isinstance(parms, dict):
+        raise DecodeError(
+            "DecodeParms is not a dictionary (reference KeyError/TypeError "
+            "drop)"
+        )
+    if "Predictor" not in parms:
+        raise DecodeError(
+            "DecodeParms without Predictor key (reference KeyError)"
+        )
+    pred = parms["Predictor"]
+    if pred == 0:
+        return uncomp
+    if pred != 12:
+        raise UnsupportedFilterError(
+            "Flate predictor %r not implemented by the reference "
+            "(NotImplementedError drop)" % (pred,)
+        )
+    if "Columns" not in parms:
+        raise DecodeError(
+            "PNG Up without Columns (reference ValueError)"
+        )
+    return _png_up_strict(uncomp, parms["Columns"])
+
+
 def flate_decode(data: bytes, parms: dict | None) -> bytes:
     try:
         raw = zlib.decompress(data)
@@ -238,8 +312,9 @@ def decode_stream(d: dict, raw: bytes, extended: bool | None = None) -> bytes:
         if filt == "FlateDecode":
             # the reference reads ONLY the 'DecodeParms' key here — the
             # 'DP' abbreviation is object-stream-only (pdf.py:458-462)
-            parms = d.get("DecodeParms")
-            return flate_decode(raw, parms if isinstance(parms, dict) else {})
+            return flate_decode_strict(
+                raw, d.get("DecodeParms"), "DecodeParms" in d
+            )
         raise UnsupportedFilterError(
             "filter %r unsupported by the reference (strict parity; "
             "set filters.EXTENDED_FILTERS for the superset)" % (filt,)

@@ -137,15 +137,22 @@ class TextState:
     def do_Tstar(self):
         self.do_Td(0, self.TL)
 
+    # Reference parity (probed round 4, pinned f87): TextState.Tm is a
+    # PROPERTY whose setter assigns BOTH matrices (state.py:364
+    # ``self._Tm = self._Tlm = v``), so every glyph/kern advance moves the
+    # "line" matrix too — Td/TD/T* translate relative to the END of the
+    # previous show, not the line start.  There is no independent line
+    # matrix in the reference at all.
+
     def advance_kern(self, w):
         tx = ((0.0 - w) / 1000.0 * self.Tfs) * (self.Tz / 100.0)
-        self.Tm = self.Tm.translated(tx, 0.0)
+        self.Tm = self.Tlm = self.Tm.translated(tx, 0.0)
 
     def advance_glyph(self, gw):
         tx = ((gw - 0.0) / 1000.0 * self.Tfs + self.Tc + self.Tw) * (
             self.Tz / 100.0
         )
-        self.Tm = self.Tm.translated(tx, 0.0)
+        self.Tm = self.Tlm = self.Tm.translated(tx, 0.0)
 
 
 class GState:
@@ -412,6 +419,10 @@ class PageInterpreter:
             n_chars = len(chars)
             fast = (
                 on_run is not None and tb == 0.0 and cmB == 0.0 and tf != 0.0
+                # te must be finite on ENTRY: a nonfinite te makes the
+                # exact path compute y = m1e*cmB = NaN per glyph (newline
+                # every glyph), which the constant-y collapse cannot model
+                and te - te == 0.0
             )
             if fast:
                 m1f0 = 0.0 * tb + Tr * td + tf
@@ -437,7 +448,13 @@ class PageInterpreter:
                             te = tx * ta + 0.0 * tc + te
                             i += 1
                             if te - te != 0.0:
-                                break  # te went inf/NaN: finish slow, exact
+                                # te went inf/NaN: replicate the exact
+                                # path's tf update for THIS glyph (tx*tb
+                                # is NaN when tx itself is nonfinite, and
+                                # exactly +-0.0 absorbed by tf != 0.0
+                                # otherwise), then finish slow, exact
+                                tf = tx * tb + 0.0 * td + tf
+                                break
                     finally:
                         # flush BEFORE any exception propagates: the slow
                         # path had already drawn these glyphs (partial-state
@@ -465,5 +482,7 @@ class PageInterpreter:
                 # write back even when a glyph lookup raises mid-string:
                 # the reference advanced per glyph, and the un-popped state
                 # is observable through XObject recursion unwind
-                T.Tm = Mat._make(ta, tb, tc, td, te, tf)
+                # Tlm aliases Tm on every advance (reference state.py:364
+                # property setter) — see TextState.advance_glyph
+                T.Tm = T.Tlm = Mat._make(ta, tb, tc, td, te, tf)
         emit(("text_end",))

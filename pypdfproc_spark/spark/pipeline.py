@@ -111,13 +111,13 @@ def _make_extract_batch(pkg_root: str, columns: list,
             _sys.path.insert(0, pkg_root)
         from pypdfproc_spark.core.extract import extract_document
 
-        if extended_filters:
-            # documented opt-out of strict filter parity: decode LZW /
-            # ASCIIHex / ASCII85 / RunLength / filter chains the reference
-            # cannot (core.filters.EXTENDED_FILTERS docstring)
-            from pypdfproc_spark.core import filters as _filters
+        # set the worker-process global in BOTH directions: Spark reuses
+        # Python workers across tasks, so an extended-mode batch would
+        # otherwise leave reused workers permanently in extended mode and
+        # silently break the strict byte-parity default of later batches
+        from pypdfproc_spark.core import filters as _filters
 
-            _filters.EXTENDED_FILTERS = True
+        _filters.EXTENDED_FILTERS = extended_filters
 
         rows = []
         for payload in html:

@@ -92,3 +92,84 @@ def test_strict_parity_default():
 def test_corrupt_zlib_raises_decode_error():
     with pytest.raises(filters.DecodeError):
         filters.flate_decode(b"not zlib data", None)
+
+
+# --- round 4: strict reference Flate surface (decoder/flate.py verbatim,
+# --- probed via tools/probe_r3.py, pinned by fixtures f74-f80, f85-f86)
+
+def _strict(d, raw):
+    return filters.decode_stream(d, raw, extended=False)
+
+
+def test_strict_no_parms_is_predictor0():
+    raw = b"plain strict body"
+    assert _strict({"Filter": "FlateDecode"}, zlib.compress(raw)) == raw
+
+
+def test_strict_parms_requires_predictor_key():
+    raw = zlib.compress(b"x")
+    with pytest.raises(filters.DecodeError):
+        _strict({"Filter": "FlateDecode", "DecodeParms": {"Columns": 5}}, raw)
+
+
+def test_strict_only_predictor_0_and_12():
+    raw = zlib.compress(b"x" * 8)
+    for pred in (1, 2, 10, 11, 13, 14, 15, 99):
+        with pytest.raises(filters.DecodeError):
+            _strict({"Filter": "FlateDecode",
+                     "DecodeParms": {"Predictor": pred, "Columns": 4}}, raw)
+
+
+def test_strict_nondict_parms_drop():
+    raw = zlib.compress(b"x")
+    for parms in ([{"Predictor": 0}], "nope", 7, object()):
+        with pytest.raises(filters.DecodeError):
+            _strict({"Filter": "FlateDecode", "DecodeParms": parms}, raw)
+
+
+def test_strict_png_up_pads_nrows_nuls():
+    # reference PNG_Up allocates len(data) output bytes but writes only
+    # nrows*col -> worked example gains 2 trailing NULs
+    data = bytes([2, 2, 3, 4, 2, 5, 0, 1])
+    out = _strict({"Filter": "FlateDecode",
+                   "DecodeParms": {"Predictor": 12, "Columns": 3}},
+                  zlib.compress(data))
+    assert out == bytes([2, 3, 4, 7, 3, 5]) + b"\x00\x00"
+
+
+def test_strict_png_up_row0_tag_ignored():
+    # row 0's tag byte is never checked (flate.py:105 'if r > 0')
+    data = bytes([7, 2, 3, 4, 2, 5, 0, 1])
+    out = _strict({"Filter": "FlateDecode",
+                   "DecodeParms": {"Predictor": 12, "Columns": 3}},
+                  zlib.compress(data))
+    assert out == bytes([2, 3, 4, 7, 3, 5]) + b"\x00\x00"
+
+
+def test_strict_png_up_tag_change_raises():
+    data = bytes([2, 2, 3, 4, 0, 5, 0, 1])
+    with pytest.raises(filters.DecodeError):
+        _strict({"Filter": "FlateDecode",
+                 "DecodeParms": {"Predictor": 12, "Columns": 3}},
+                zlib.compress(data))
+
+
+def test_strict_png_up_requires_columns_and_row_multiple():
+    data = bytes([2, 2, 3, 4])
+    with pytest.raises(filters.DecodeError):
+        _strict({"Filter": "FlateDecode",
+                 "DecodeParms": {"Predictor": 12}}, zlib.compress(data))
+    with pytest.raises(filters.DecodeError):
+        _strict({"Filter": "FlateDecode",
+                 "DecodeParms": {"Predictor": 12, "Columns": 4}},
+                zlib.compress(data))  # 4 bytes, stride 5
+
+
+def test_strict_png_up_colors_ignored():
+    # Columns is the RAW byte width; Colors/BitsPerComponent unread
+    data = bytes([2, 2, 3, 4, 2, 5, 0, 1])
+    out = _strict({"Filter": "FlateDecode",
+                   "DecodeParms": {"Predictor": 12, "Columns": 3,
+                                   "Colors": 3, "BitsPerComponent": 16}},
+                  zlib.compress(data))
+    assert out == bytes([2, 3, 4, 7, 3, 5]) + b"\x00\x00"

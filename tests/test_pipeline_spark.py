@@ -301,10 +301,17 @@ def test_spans_native_roundtrip(spark):
                 (s.start, s.end, s.x, s.y) for s in (r.spans or [])
             ]
     checked = 0
+    def _coord(v):
+        # Arrow maps non-finite Python floats in nested object arrays to
+        # null; the pipeline inherits that (NaN coords -> NULL column
+        # values, f88_tf_inf), so normalize the core side the same way
+        v = float(v)
+        return v if v == v else None
+
     for name, data in fixtures.items():
         core = extract_document(data)
         for page_no, page_spans in enumerate(core.spans):
-            want = [(int(s[1]), int(s[2]), float(s[3]), float(s[4]))
+            want = [(int(s[1]), int(s[2]), _coord(s[3]), _coord(s[4]))
                     for s in page_spans]
             assert got.get((name, page_no), []) == want, (name, page_no)
             checked += len(want)

@@ -589,5 +589,223 @@ PROBES["enc_indirect_float_diff"] = p_enc_indirect_float_diff
 PROBES["enc_indirect_no_type"] = p_enc_indirect_no_type
 
 
+# --- round 4: Flate DecodeParms / predictor surface (decoder/flate.py) ----
+
+def _flate_doc(dict_extra: bytes, data: bytes,
+               extra_objs: list | None = None) -> bytes:
+    """One-page doc whose content stream has the given filter dict."""
+    from fixtures.pdfgen import PdfFile, HELV
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, dict_extra, data)
+    for oid, body in (extra_objs or []):
+        f.add(oid, body)
+    return f.build(1)
+
+
+_CONTENT = b"BT /F1 12 Tf 72 720 Td (Pred text) Tj ET"
+
+
+def _pred12_payload(content: bytes, col: int, row0_tag: int = 2,
+                    bad_row: int | None = None) -> bytes:
+    """PNG-Up(2)-encode content into rows of `col` bytes (space-padded)."""
+    import zlib
+    pad = (-len(content)) % col
+    body = content + b" " * pad
+    rows = [body[i:i + col] for i in range(0, len(body), col)]
+    out = bytearray()
+    prev = bytes(col)
+    for i, r in enumerate(rows):
+        tag = row0_tag if i == 0 else 2
+        if bad_row is not None and i == bad_row:
+            tag = 0
+        out.append(tag)
+        out.extend((b - p) % 256 for b, p in zip(r, prev))
+        prev = r
+    return zlib.compress(bytes(out))
+
+
+def p_parms_no_pred() -> bytes:
+    """DecodeParms present but no /Predictor key -> ref KeyError?"""
+    from fixtures.pdfgen import flate
+    return _flate_doc(b"/Filter /FlateDecode /DecodeParms << /Columns 5 >>",
+                      flate(_CONTENT))
+
+
+def p_parms_pred1() -> bytes:
+    """Predictor 1 (spec 'no predictor') -> ref NotImplementedError?"""
+    from fixtures.pdfgen import flate
+    return _flate_doc(b"/Filter /FlateDecode /DecodeParms << /Predictor 1 >>",
+                      flate(_CONTENT))
+
+
+def p_parms_pred0() -> bytes:
+    """Predictor 0 control -> should extract."""
+    from fixtures.pdfgen import flate
+    return _flate_doc(b"/Filter /FlateDecode /DecodeParms << /Predictor 0 >>",
+                      flate(_CONTENT))
+
+
+def p_pred2_tiff() -> bytes:
+    from fixtures.pdfgen import flate
+    return _flate_doc(b"/Filter /FlateDecode /DecodeParms "
+                      b"<< /Predictor 2 /Columns 8 >>", flate(_CONTENT))
+
+
+def p_pred12_content() -> bytes:
+    """Predictor-12 content stream; ref output gains nrows trailing NULs."""
+    return _flate_doc(b"/Filter /FlateDecode /DecodeParms "
+                      b"<< /Predictor 12 /Columns 8 >>",
+                      _pred12_payload(_CONTENT, 8))
+
+
+def p_pred12_row0tag() -> bytes:
+    """Row 0 predictor tag 7 (ref ignores row 0's tag entirely)."""
+    return _flate_doc(b"/Filter /FlateDecode /DecodeParms "
+                      b"<< /Predictor 12 /Columns 8 >>",
+                      _pred12_payload(_CONTENT, 8, row0_tag=7))
+
+
+def p_pred12_badtag() -> bytes:
+    """Row 2 tag 0 -> ref ValueError (predictor change)."""
+    return _flate_doc(b"/Filter /FlateDecode /DecodeParms "
+                      b"<< /Predictor 12 /Columns 8 >>",
+                      _pred12_payload(_CONTENT, 8, bad_row=2))
+
+
+def p_pred12_no_columns() -> bytes:
+    return _flate_doc(b"/Filter /FlateDecode /DecodeParms "
+                      b"<< /Predictor 12 >>", _pred12_payload(_CONTENT, 8))
+
+
+def p_pred12_colors() -> bytes:
+    """Colors 3 present: ref ignores it (Columns = raw byte count)."""
+    return _flate_doc(b"/Filter /FlateDecode /DecodeParms "
+                      b"<< /Predictor 12 /Columns 8 /Colors 3 >>",
+                      _pred12_payload(_CONTENT, 8))
+
+
+def p_pred12_badlen() -> bytes:
+    """Payload not a multiple of Columns+1 -> ref ValueError."""
+    import zlib
+    raw = zlib.decompress(_pred12_payload(_CONTENT, 8))
+    return _flate_doc(b"/Filter /FlateDecode /DecodeParms "
+                      b"<< /Predictor 12 /Columns 8 >>",
+                      zlib.compress(raw + b"\x00"))
+
+
+def p_parms_array() -> bytes:
+    """DecodeParms is an ARRAY -> 'Predictor' not in Array -> KeyError?"""
+    from fixtures.pdfgen import flate
+    return _flate_doc(b"/Filter /FlateDecode /DecodeParms "
+                      b"[ << /Predictor 0 >> ]", flate(_CONTENT))
+
+
+def p_parms_indirect() -> bytes:
+    """DecodeParms indirect ref -> 'in' on IndirectObject -> TypeError?"""
+    from fixtures.pdfgen import flate
+    return _flate_doc(b"/Filter /FlateDecode /DecodeParms 9 0 R",
+                      flate(_CONTENT),
+                      extra_objs=[(9, b"<< /Predictor 0 >>")])
+
+
+PROBES["parms_no_pred"] = p_parms_no_pred
+PROBES["parms_pred1"] = p_parms_pred1
+PROBES["parms_pred0"] = p_parms_pred0
+PROBES["pred2_tiff"] = p_pred2_tiff
+PROBES["pred12_content"] = p_pred12_content
+PROBES["pred12_row0tag"] = p_pred12_row0tag
+PROBES["pred12_badtag"] = p_pred12_badtag
+PROBES["pred12_no_columns"] = p_pred12_no_columns
+PROBES["pred12_colors"] = p_pred12_colors
+PROBES["pred12_badlen"] = p_pred12_badlen
+PROBES["parms_array"] = p_parms_array
+PROBES["parms_indirect"] = p_parms_indirect
+
+
+# --- round 4: content text-lexer character classes (parser/text.py) ------
+
+def _content_doc(content: bytes) -> bytes:
+    from fixtures.pdfgen import simple_doc, HELV
+    return simple_doc(content, HELV)
+
+
+def p_run_unspaced() -> bytes:
+    """Operators glued to numbers/operators: PLY lexes 'q1' as q + INT."""
+    return _content_doc(b"q1 0 0 1 0 0cm BT /F1 12 Tf 72 720 Td "
+                        b"(Unspaced ops) Tj ETq Q")
+
+
+def p_run_float_chain() -> bytes:
+    """'12.5.6' lexes as FLOAT 12.5 + FLOAT .6 in the reference."""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td (Chain) Tj "
+                        b"12.5.6 0 Td (After) Tj ET")
+
+
+def p_run_comment() -> bytes:
+    """'%' has no rule in the text lexer -> t_error -> page drop."""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td (Commented) Tj ET "
+                        b"% trailing comment")
+
+
+def p_run_nul() -> bytes:
+    """Standalone NUL between operators -> t_error -> page drop."""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td (NulByte) Tj ET \x00")
+
+
+def p_run_formfeed() -> bytes:
+    """\\x0c is NOT whitespace in the text lexer -> t_error -> drop."""
+    return _content_doc(b"BT /F1 12 Tf \x0c 72 720 Td (FormFeed) Tj ET")
+
+
+def p_run_brace() -> bytes:
+    """'{' has no rule -> t_error -> drop."""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td (Brace) Tj ET { }")
+
+
+_INF = b"9" * 320 + b".0"          # float('9'*320 + '.0') == inf
+_NEARMAX = b"17" + b"9" * 306 + b".0"  # ~1.79e308, finite
+
+
+def p_tf_inf() -> bytes:
+    """Tf = inf: every advance is inf/NaN; later strings in the SAME text
+    object then draw with NaN coords (newline per glyph in the slow path).
+    Page 2 is clean (state reset check)."""
+    return _content_doc(b"BT /F1 " + _INF + b" Tf 72 720 Td (AB) Tj "
+                        b"0 0 Td (CD) Tj /F1 12 Tf 10 10 Td (EF) Tj ET")
+
+
+def p_tf_nearmax() -> bytes:
+    """Tf huge-but-finite: te overflows to inf mid-string by ACCUMULATION
+    (finite tx), a different corner than tx-itself-inf."""
+    return _content_doc(b"BT /F1 " + _NEARMAX + b" Tf 72 720 Td (ABCDE) Tj "
+                        b"/F1 12 Tf 5 5 Td (After) Tj ET")
+
+
+def p_td_after_draw() -> bytes:
+    """Td AFTER a show: the reference's Tm property setter aliases Tlm on
+    every advance (state.py:364), so Td translates from the END of the
+    previous string.  With b != 0 the advance moves y, so the aliasing is
+    text-visible (newline pattern)."""
+    return _content_doc(b"BT /F1 12 Tf 1 1 0 1 100 300 Tm (A) Tj "
+                        b"0 0 Td (B) Tj 0 0 Td (C) Tj ET")
+
+
+PROBES["td_after_draw"] = p_td_after_draw
+PROBES["tf_inf"] = p_tf_inf
+PROBES["tf_nearmax"] = p_tf_nearmax
+
+PROBES["run_unspaced"] = p_run_unspaced
+PROBES["run_float_chain"] = p_run_float_chain
+PROBES["run_comment"] = p_run_comment
+PROBES["run_nul"] = p_run_nul
+PROBES["run_formfeed"] = p_run_formfeed
+PROBES["run_brace"] = p_run_brace
+
+
 if __name__ == "__main__":
     main()
