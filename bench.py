@@ -131,7 +131,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_simhash_pairs", "dedup_embedding_cosine",
         "dedup_ngram_jaccard", "dedup_verified", "doc_fingerprint", "lang_id",
         "quality_score", "token_count", "ann_topk_bruteforce",
-        "ann_lsh_bucketed", "ann_ivf_topk", "blob_metadata",
+        "ann_lsh_bucketed", "ann_ivf_build", "ann_ivf_topk", "blob_metadata",
         "blob_byte_histogram", "latest_snapshot",
         "events_sessionize", "metrics_rollup", "topk_skew",
         "quality_filter_funnel", "pii_scan", "dedup_text_prefix",
@@ -153,6 +153,17 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
             T.dedup_simhash_pairs(spark, sf_dir, sim=sim).count()
             if sim is not None:
                 sim.unpersist()
+        elif name == "ann_ivf_build":
+            # the IVF index is a BUILD artifact (codebook + inverted
+            # lists, persisted parquet): time the cold build here so the
+            # probe below measures the recurring query path only — the
+            # 100 TB shape (train/assign once, probe many)
+            import shutil
+
+            from pypdfproc_spark.spark import similarity as SIM
+
+            shutil.rmtree(SIM.ivf_index_path(sf_dir), ignore_errors=True)
+            SIM.ivf_build_index(spark, sf_dir)
         else:
             q[name](spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)

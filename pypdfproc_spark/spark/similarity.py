@@ -14,6 +14,9 @@ dot product -- JVM-side, no Python):
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -322,38 +325,16 @@ def ivf_train_centroids(emb: DataFrame, n_queries: int = 5,
     return cents
 
 
-def ann_ivf_topk(spark, sf_dir, n_queries: int = 5, k: int = 5,
-                 n_cells: int = 16, nprobe: int = 4,
-                 train_iters: int = 2) -> DataFrame:
-    """IVF (inverted-file) ANN: the coarse-quantizer scale path.
+def ivf_assignment(cents: DataFrame, cands: DataFrame) -> DataFrame:
+    """Inverted-file assignment: each candidate's nearest centroid.
 
-    Build: the codebook is k-means-trained (``ivf_train_centroids``,
-    ``train_iters`` distributed Lloyd iterations seeded from the first
-    n_cells candidate vectors); every candidate vector is then assigned
-    to its nearest centroid.  Probe: a query scores only candidates in
-    its ``nprobe`` nearest cells, cutting the scanned fraction to
-    ~nprobe/n_cells.
-
-    Scale shape: centroids broadcast (tiny); assignment is a broadcast
-    join + partial-aggregated max_by (the K candidate×centroid rows for a
-    vector collapse map-side, so the assignment shuffle carries ONE narrow
-    row per vector, never the K-way expansion); the probe join is an
-    equi-join on cell id.  All cosine ranking uses (rounded cosine desc,
-    id asc) so the DuckDB oracle orders identically under float rounding.
-    """
-    emb = load_embeddings(spark, sf_dir).select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        _norm(F.col("embedding").cast("array<double>")).alias("vn"),
-    )
-    cents = ivf_train_centroids(emb, n_queries, n_cells, train_iters)
-    cands = emb.filter(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("neighbor_id"), "v", "vn"
-    )
+    Broadcast join + partial-aggregated max_by: the K candidate×centroid
+    rows for a vector collapse map-side, so the assignment shuffle
+    carries ONE narrow row per vector, never the K-way expansion."""
     ccos = F.round(
         cosine_prenormed(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")), 4
     )
-    assign = (
+    return (
         cands.join(F.broadcast(cents))
         .select("neighbor_id", "v", "vn", "cent_id", ccos.alias("ccos"))
         .groupBy("neighbor_id")
@@ -365,6 +346,93 @@ def ann_ivf_topk(spark, sf_dir, n_queries: int = 5, k: int = 5,
             F.first("v").alias("v"),
             F.first("vn").alias("vn"),
         )
+    )
+
+
+IVF_INDEX_VERSION = 1  # bump when training/assignment semantics change
+
+
+def ivf_index_path(sf_dir: str, n_queries: int = 5, n_cells: int = 16,
+                   train_iters: int = 2) -> str:
+    """Deterministic cache location for the persisted IVF index.
+
+    Keyed by the input path, the build parameters, a code-version tag,
+    and the embeddings file's (size, mtime) so a regenerated input or a
+    semantics change can never serve a stale index."""
+    emb_path = sf_dir.rstrip("/") + "/embeddings.parquet"
+    try:
+        st = os.stat(emb_path)
+        sig = "%d_%d" % (st.st_size, int(st.st_mtime))
+    except OSError:
+        sig = "nofile"
+    tag = "%s_q%d_c%d_i%d_v%d_%s" % (
+        sf_dir.rstrip("/").replace("/", "_"),
+        n_queries, n_cells, train_iters, IVF_INDEX_VERSION, sig,
+    )
+    return os.path.join(tempfile.gettempdir(), "spark_graft_ivf", tag)
+
+
+def ivf_build_index(spark, sf_dir, n_queries: int = 5, n_cells: int = 16,
+                    train_iters: int = 2, path: str | None = None,
+                    force: bool = False) -> str:
+    """BUILD step of the IVF index: train the codebook, materialize the
+    inverted lists, persist both as parquet.  Idempotent via a _BUILT
+    marker — repeated probes reuse the on-disk index.
+
+    At 100 TB this is exactly the offline shape: the codebook trains once
+    (in practice on a sample), the corpus is assigned once, and every
+    subsequent top-k query probes the persisted lists — training never
+    rides the query path (the round-3 `weak`)."""
+    path = path or ivf_index_path(sf_dir, n_queries, n_cells, train_iters)
+    marker = os.path.join(path, "_BUILT")
+    if os.path.exists(marker) and not force:
+        return path
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _norm(F.col("embedding").cast("array<double>")).alias("vn"),
+    )
+    cents = ivf_train_centroids(emb, n_queries, n_cells, train_iters)
+    cands = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), "v", "vn"
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    # the inverted lists ARE the index: vectors stored with their cell id,
+    # so a probe is an equi-join on cent_id with no per-query assignment
+    ivf_assignment(cents, cands).write.mode("overwrite").parquet(
+        os.path.join(path, "lists")
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return path
+
+
+def ann_ivf_topk(spark, sf_dir, n_queries: int = 5, k: int = 5,
+                 n_cells: int = 16, nprobe: int = 4,
+                 train_iters: int = 2,
+                 index_dir: str | None = None) -> DataFrame:
+    """IVF (inverted-file) ANN probe: the coarse-quantizer scale path.
+
+    The index (k-means codebook + inverted lists) is a persisted build
+    artifact (``ivf_build_index``); this function is the PROBE only: a
+    query scores candidates in its ``nprobe`` nearest cells, cutting the
+    scanned fraction to ~nprobe/n_cells.  If no ``index_dir`` is given
+    the cached index for (sf_dir, params) is built on first use.
+
+    Scale shape: centroids broadcast (tiny); probe-to-list matching is an
+    equi-join on cell id; per-query top-k is a WindowGroupLimit.  All
+    cosine ranking uses (rounded cosine desc, id asc) so the DuckDB
+    oracle orders identically under float rounding.
+    """
+    index_dir = index_dir or ivf_build_index(
+        spark, sf_dir, n_queries, n_cells, train_iters
+    )
+    cents = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    assign = spark.read.parquet(os.path.join(index_dir, "lists"))
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _norm(F.col("embedding").cast("array<double>")).alias("vn"),
     )
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),

@@ -62,14 +62,40 @@ def test_ann_bruteforce_broadcasts_queries(spark):
 
 
 def test_ivf_assignment_partial_aggregates(spark):
-    """The candidate x centroid expansion must collapse map-side: the
-    aggregate over neighbor_id appears as partial+final around ONE
-    narrow exchange."""
+    """BUILD-time gate: the candidate x centroid expansion must collapse
+    map-side — the aggregate over neighbor_id appears as partial+final
+    around ONE narrow exchange."""
+    from pyspark.sql import functions as F
+
     from pypdfproc_spark.spark import similarity
 
-    plan = _plan(similarity.ann_ivf_topk(spark, SF, train_iters=0))
+    emb = similarity.load_embeddings(spark, SF).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        similarity._norm(F.col("embedding").cast("array<double>")).alias("vn"),
+    )
+    cents = similarity.ivf_train_centroids(emb, 5, 16, iters=0)
+    cands = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "v", "vn"
+    )
+    plan = _plan(similarity.ivf_assignment(cents, cands))
     assert "partial_max_by" in plan or "partial_first" in plan
     assert "hashpartitioning(neighbor_id" in plan
+
+
+def test_ivf_probe_contains_no_training(spark, tmp_path):
+    """PROBE-time gate (r03 verdict item 1): ann_ivf_topk given a built
+    index must read codebook + lists from parquet and contain NO k-means
+    stage — no avg aggregates, no per-iteration agg, no assignment
+    groupBy(neighbor_id)."""
+    from pypdfproc_spark.spark import similarity
+
+    idx = similarity.ivf_build_index(spark, SF, path=str(tmp_path / "ivf"))
+    plan = _plan(similarity.ann_ivf_topk(spark, SF, index_dir=idx))
+    assert "partial_avg" not in plan and " avg(" not in plan
+    assert "hashpartitioning(neighbor_id" not in plan
+    # both index sides are parquet scans
+    assert plan.count("Scan parquet") >= 2
 
 
 def test_funnel_single_aggregate(spark):
