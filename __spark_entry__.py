@@ -93,6 +93,31 @@ def _q_extract_pages_bucketed(spark, sf_dir):
     )
 
 
+def _q_extract_spans(spark, sf_dir):
+    """Flattened span rows — one row per assembled line span — so the
+    driver's scalar value hash covers the span arrays (r03 verdict item 3:
+    spans were tested but not oracle-gated).  page/span indices come from
+    posexplode (plain, not outer: empty span lists produce no rows, same
+    as the frozen pure-Python twin)."""
+    from pyspark.sql import functions as F
+
+    from pypdfproc_spark.spark import pipeline as P
+
+    pages = _pages_df(spark, sf_dir, limit=150)
+    res, _ = P.run_pipeline(pages, n_buckets=16, partitions=8)
+    ex = res.select(
+        "url", F.col("page_no").cast("long").alias("page_no"),
+        F.posexplode("spans").alias("span_no", "s"),
+    )
+    return ex.select(
+        "url", "page_no", F.col("span_no").cast("long").alias("span_no"),
+        F.col("s.start").alias("span_start"),
+        F.col("s.end").alias("span_end"),
+        F.round("s.x", 4).alias("x"),
+        F.round("s.y", 4).alias("y"),
+    )
+
+
 def _q_extract_metrics(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -153,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pages": _q_extract_pages,
         "extract_pages_bucketed": _q_extract_pages_bucketed,
         "extract_metrics": _q_extract_metrics,
+        "extract_spans": _q_extract_spans,
     }
 
 
@@ -660,5 +686,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket, docs, pages_parsed, pages_dropped, decode_failures,
                fallback_rate
         FROM read_parquet('%s/extract_metrics_sf001.parquet')
+    """ % _exp
+    sql["extract_spans"] = """
+        SELECT url, page_no, span_no, span_start, span_end, x, y
+        FROM read_parquet('%s/extract_spans_sf001.parquet')
     """ % _exp
     return sql

@@ -134,6 +134,7 @@ def expected_rows(sf_dir: str = SF_DIR, limit: int = LIMIT,
             best[url] = (key, payload)
 
     page_rows = []
+    span_rows = []
     per_doc = []
     for url in best:
         payload = best[url][1]
@@ -143,6 +144,16 @@ def expected_rows(sf_dir: str = SF_DIR, limit: int = LIMIT,
             page_rows.append((url, page_no, text, r.parser))
         if not r.pages:  # posexplode_outer: empty array -> one null row
             page_rows.append((url, None, None, r.parser))
+        # flattened span rows (extract_spans oracle): page index by
+        # position in r.spans — the same indexing the pipeline's
+        # element_at(spans_all, page_no + 1) uses.  Empty span lists
+        # produce no rows (Spark side uses plain posexplode).
+        for page_no, page_spans in enumerate(r.spans):
+            for span_no, s in enumerate(page_spans):
+                span_rows.append(
+                    (url, page_no, span_no, int(s[1]), int(s[2]),
+                     _round4(float(s[3])), _round4(float(s[4])))
+                )
         per_doc.append((b, r))
 
     metrics: dict[int, list] = {}
@@ -157,7 +168,7 @@ def expected_rows(sf_dir: str = SF_DIR, limit: int = LIMIT,
         (b, m[0], m[1], m[2], m[3], _round4(m[4] / m[0]))
         for b, m in metrics.items()
     ]
-    return page_rows, metrics_rows
+    return page_rows, metrics_rows, span_rows
 
 
 def _round4(x: float) -> float:
@@ -169,11 +180,11 @@ def _round4(x: float) -> float:
                                            rounding=ROUND_HALF_UP))
 
 
-def freeze(out_dir: str = OUT_DIR) -> tuple[int, int]:
+def freeze(out_dir: str = OUT_DIR) -> tuple[int, int, int]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    page_rows, metrics_rows = expected_rows()
+    page_rows, metrics_rows, span_rows = expected_rows()
     os.makedirs(out_dir, exist_ok=True)
 
     pcols = list(zip(*page_rows))
@@ -202,10 +213,25 @@ def freeze(out_dir: str = OUT_DIR) -> tuple[int, int]:
         ),
         os.path.join(out_dir, "extract_metrics_sf001.parquet"),
     )
-    return len(page_rows), len(metrics_rows)
+    scols = list(zip(*span_rows))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(scols[0], pa.string()),
+                "page_no": pa.array(scols[1], pa.int64()),
+                "span_no": pa.array(scols[2], pa.int64()),
+                "span_start": pa.array(scols[3], pa.int64()),
+                "span_end": pa.array(scols[4], pa.int64()),
+                "x": pa.array(scols[5], pa.float64()),
+                "y": pa.array(scols[6], pa.float64()),
+            }
+        ),
+        os.path.join(out_dir, "extract_spans_sf001.parquet"),
+    )
+    return len(page_rows), len(metrics_rows), len(span_rows)
 
 
 if __name__ == "__main__":
-    n_pages, n_buckets = freeze()
-    print("froze %d page rows, %d metric buckets -> %s" % (
-        n_pages, n_buckets, OUT_DIR))
+    n_pages, n_buckets, n_spans = freeze()
+    print("froze %d page rows, %d metric buckets, %d span rows -> %s" % (
+        n_pages, n_buckets, n_spans, OUT_DIR))

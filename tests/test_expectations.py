@@ -65,7 +65,8 @@ def test_frozen_expectations_are_current():
     """Regenerating from the current code must reproduce the committed
     parquet exactly (catches silent drift of pagesgen / extractor / dedup
     semantics vs the frozen oracle)."""
-    page_rows, metrics_rows = expected_rows(SF_DIR, LIMIT, N_BUCKETS)
+    page_rows, metrics_rows, span_rows = expected_rows(SF_DIR, LIMIT,
+                                                       N_BUCKETS)
 
     pt = pq.read_table(os.path.join(OUT_DIR, "extract_pages_sf001.parquet"))
     frozen_pages = set(zip(*(pt.column(c).to_pylist()
@@ -78,3 +79,10 @@ def test_frozen_expectations_are_current():
                                          "pages_dropped", "decode_failures",
                                          "fallback_rate"))))
     assert set(metrics_rows) == frozen_metrics
+
+    st = pq.read_table(os.path.join(OUT_DIR, "extract_spans_sf001.parquet"))
+    frozen_spans = set(zip(*(st.column(c).to_pylist()
+                             for c in ("url", "page_no", "span_no",
+                                       "span_start", "span_end", "x", "y"))))
+    assert set(span_rows) == frozen_spans
+    assert len(span_rows) > 0
