@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": textops.dedup_ngram_jaccard,
         "dedup_verified": textops.dedup_verified,
         "dedup_verified_keep": textops.dedup_verified_keep,
+        "dedup_components": textops.dedup_components,
         "doc_fingerprint": textops.doc_fingerprint,
         # text analysis
         "lang_id": textops.lang_id,
@@ -408,6 +409,26 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_verified_keep"] = f"""
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT doc_b FROM ({_dv}))
+    """
+
+    # transitive-closure components over the verified pairs: DuckDB's
+    # recursive CTE computes min-reachable-id exactly, the twin of the
+    # engine's min-label-propagation fixpoint (iterated to convergence,
+    # so the fixed-point values match regardless of iteration schedule)
+    sql["dedup_components"] = f"""
+        WITH RECURSIVE vp AS ({_dv}),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM vp
+          UNION ALL
+          SELECT doc_b AS s, doc_a AS d FROM vp
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        )
+        SELECT s AS doc_id, least(s, min(d)) AS component
+        FROM reach GROUP BY s
     """
 
     sql["doc_fingerprint"] = f"""

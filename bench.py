@@ -129,7 +129,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     names = [
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_simhash_pairs", "dedup_embedding_cosine",
-        "dedup_ngram_jaccard", "dedup_verified", "doc_fingerprint", "lang_id",
+        "dedup_ngram_jaccard", "dedup_verified", "dedup_components",
+        "doc_fingerprint", "lang_id",
         "quality_score", "token_count", "ann_topk_bruteforce",
         "ann_lsh_bucketed", "ann_ivf_build", "ann_ivf_topk", "blob_metadata",
         "blob_byte_histogram", "latest_snapshot",

@@ -311,6 +311,71 @@ def dedup_verified_keep(spark, sf_dir, threshold: float = 0.2) -> DataFrame:
     return docs.join(dropped, "doc_id", "left_anti").select("doc_id")
 
 
+def dedup_components(spark, sf_dir, threshold: float = 0.2,
+                     max_iter: int = 20,
+                     pairs: DataFrame | None = None) -> DataFrame:
+    """Connected-components grouping over the verified near-dup pairs:
+    every non-singleton document labeled with the MIN doc_id reachable in
+    its duplicate component (the transitive-closure alternative to
+    ``dedup_verified_keep``'s greedy pair-removal — with chains a->b->c
+    the greedy rule can drop both b and c even though keeping one of
+    each component is enough; this gives the exact component structure).
+
+    Iterative min-label propagation: label(v) <- min(label(v),
+    min(label(u) : u ~ v)), repeated until fixpoint.  Convergence is
+    detected by the (monotonically decreasing) sum of labels — one tiny
+    aggregate action per iteration — so the result is the unique
+    fixpoint regardless of iteration count, which keeps the DuckDB
+    recursive-CTE oracle value-identical.  Each iteration localCheckpoints
+    the label table: it is one narrow row per non-singleton doc, and
+    truncating lineage keeps iteration i from re-deriving iterations
+    0..i-1 (on a cluster this is a reliable checkpoint to object storage).
+    Iterations needed = component diameter — near-dup components are
+    dense cliques, so 2-3 in practice; max_iter bounds adversarial
+    chains.  Per iteration: one equi-join edges x labels + one min-agg —
+    never a pairwise or quadratic stage."""
+    if pairs is None:
+        pairs = dedup_verified(spark, sf_dir, threshold)
+    p = pairs.select("doc_a", "doc_b")
+    edges = p.unionAll(
+        p.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"), F.col("label").alias("nl")
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("nl").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("component"))
+
+
 def dedup_ngram_jaccard(spark, sf_dir, max_doc_id: int = 150,
                         threshold: float = 0.2) -> DataFrame:
     """Exact 3-gram Jaccard over a doc_id-bounded subset — a DEMO-scale

@@ -117,3 +117,21 @@ def test_simhash_pairs_shared_signatures(spark):
     finally:
         sim.unpersist()
     assert shared == standalone and standalone
+
+
+def test_dedup_components_chain_closure(spark):
+    """A chain 1-2, 2-3, 3-4 plus an isolated pair 10-11 must collapse to
+    min-id components {1,2,3,4}->1 and {10,11}->10 — the transitive
+    closure greedy pair-removal cannot express (it would need 2-3
+    propagation rounds, exercising the fixpoint loop)."""
+    from pypdfproc_spark.spark import textops
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (10, 11, 1.0)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = {
+        (r["doc_id"], r["component"])
+        for r in textops.dedup_components(spark, "", pairs=pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
