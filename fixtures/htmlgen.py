@@ -100,6 +100,90 @@ be preserved intact.</div>
 </body></html>"""
 
 
+def h09_markup_in_attributes() -> bytes:
+    """Markup-shaped strings inside attribute values must never leak into
+    the text: onclick handlers with '<p>' literals, javascript: hrefs,
+    unquoted attributes, and a '>' inside a quoted value."""
+    return b"""<html><body>
+<p onclick="if(x<1){document.write('<p>injected attr markup</p>')}">Real
+paragraph text around a hostile onclick attribute, long enough to be
+kept by the extractor.</p>
+<a href="javascript:alert('<script>nope</script>')">tiny link</a>
+<div title="a > b && b < c" data-x=unquoted>Prose following attributes
+that contain angle brackets in quoted values stays intact.</div>
+</body></html>"""
+
+
+def h10_unclosed_script() -> bytes:
+    """A <script> that never closes: html.parser switches to CDATA mode
+    and swallows the rest of the document — the pinned behavior is that
+    only the text BEFORE the script survives."""
+    return b"""<html><body>
+<p>Visible paragraph before the unterminated script element, long
+enough to clear the keep threshold.</p>
+<script>var everything_after_this_is_swallowed = true;
+<p>This paragraph must NOT appear: it is inside script CDATA.</p>
+</body></html>"""
+
+
+def h11_deep_nested_boilerplate() -> bytes:
+    """Drop-tags nested inside each other and inside kept containers, plus
+    a 60-deep div nest: depth bookkeeping must survive interleaving, and
+    stray close tags of drop-tags must not unbalance it."""
+    deep_open = b"<div>" * 60
+    deep_close = b"</div>" * 60
+    return (
+        b"<html><body>"
+        b"<nav>top nav <footer>footer inside nav <aside>aside inside footer"
+        b"</aside></footer> tail of nav</nav>"
+        b"</footer></nav></aside>"  # stray closes with nothing open
+        b"<p>Paragraph after stray close tags of drop elements, with "
+        b"plenty of prose to retain in the output.</p>"
+        + deep_open
+        + b"<p>Deeply nested paragraph content that should still be "
+          b"extracted despite sixty levels of div nesting.</p>"
+        + deep_close
+        + b"<header><div><nav>doubly wrapped boilerplate text</nav></div>"
+          b"</header>"
+        b"<p>Closing paragraph after the deep nest and the wrapped "
+        b"header boilerplate block.</p>"
+        b"</body></html>"
+    )
+
+
+def h12_empty_and_whitespace() -> bytes:
+    """Empty body + whitespace-only and dropped-only content: the result
+    must be the empty string (and the pipeline row must carry it as a
+    value, not an error)."""
+    return (b"<html><head><title>t</title></head><body>\n   \n"
+            b"<nav>only boilerplate here</nav>"
+            b"<p>   \t   </p><div><script>x()</script></div>"
+            b"</body></html>")
+
+
+def h13_invalid_bytes() -> bytes:
+    """Declared utf-8 but carrying invalid sequences (dangling
+    continuation, lone 0xFF, truncated multibyte at EOF): decode must
+    use replacement characters deterministically, never raise."""
+    return (b'<html><head><meta charset="utf-8"></head><body>'
+            b"<p>Broken bytes \xc3 dangling and \xff lone follow this "
+            b"sentence of valid prose kept by the extractor.</p>"
+            b"<p>Truncated multibyte at the very end of the block \xe2\x82"
+            b"</p></body></html>")
+
+
+def h14_unclosed_comment_cdata() -> bytes:
+    """Unterminated comment swallows the tail; CDATA sections and NUL
+    bytes in text are handled without crashing."""
+    return (b"<html><body>"
+            b"<p>Paragraph with an embedded \x00 NUL byte inside prose "
+            b"that is long enough to keep.</p>"
+            b"<![CDATA[ raw cdata text ]]>"
+            b"<p>Second paragraph before an unterminated comment, also "
+            b"long enough to retain.</p>"
+            b"<!-- this comment never closes <p>swallowed text</p>")
+
+
 FIXTURES = {
     "h01_article": h01_article,
     "h02_linkfarm": h02_linkfarm,
@@ -109,6 +193,12 @@ FIXTURES = {
     "h06_utf16": h06_utf16,
     "h07_deep_lists": h07_deep_lists,
     "h08_script_in_body": h08_script_in_body,
+    "h09_markup_in_attributes": h09_markup_in_attributes,
+    "h10_unclosed_script": h10_unclosed_script,
+    "h11_deep_nested_boilerplate": h11_deep_nested_boilerplate,
+    "h12_empty_and_whitespace": h12_empty_and_whitespace,
+    "h13_invalid_bytes": h13_invalid_bytes,
+    "h14_unclosed_comment_cdata": h14_unclosed_comment_cdata,
 }
 
 

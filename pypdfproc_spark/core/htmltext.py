@@ -161,6 +161,12 @@ def extract_main_text(payload: bytes | str) -> str:
         html = decode_payload(bytes(payload))
     else:
         html = payload
+    # an unterminated trailing comment makes html.parser flush the raw
+    # '<!-- ...' tail as text data on close(); markup must never leak into
+    # extracted prose, so truncate at the orphan comment opener instead
+    i = html.rfind("<!--")
+    if i != -1 and html.find("-->", i) == -1:
+        html = html[:i]
     p = _Extractor()
     p.feed(html)
     p.close()
