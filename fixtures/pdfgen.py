@@ -1630,6 +1630,189 @@ def f89_tf_nearmax() -> bytes:
                       b"Tj /F1 12 Tf 5 5 Td (After) Tj ET", HELV)
 
 
+def _objstm_doc(n=None, first=None, index_override=None, extends=False,
+                xref_idx=(0, 1, 2, 3)) -> bytes:
+    """f05-shaped doc with tweakable /N, /First, index pairs, /Extends and
+    xref-row positions — the ObjectStream dark-corner family (reference
+    parser/__init__.py:1065-1127: index = first N*2 TOKENS, object i's
+    tokens selected by lexpos window, index object ids IGNORED, no
+    /Extends handling at all)."""
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    offsets[5] = len(out)
+    out += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Objstm probe) Tj ET")
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, HELV),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+    ]
+    bodies = b""
+    offs = []
+    for oid, body in inner:
+        offs.append((oid, len(bodies)))
+        bodies += body + b" "
+    pairs = index_override if index_override is not None else offs
+    index = b" ".join(b"%d %d" % (o, off) for o, off in pairs) + b" "
+    objstm_data = index + bodies
+    n_val = len(inner) if n is None else n
+    first_val = len(index) if first is None else first
+    extra = b"/Type /ObjStm /N %d /First %d" % (n_val, first_val)
+    if extends:
+        extra += b" /Extends 8 0 R"
+    offsets[6] = len(out)
+    out += _stream_obj(6, extra, objstm_data)
+    if extends:
+        offsets[8] = len(out)
+        out += _stream_obj(8, b"/Type /ObjStm /N 1 /First 4",
+                           b"9 0 << /X 1 >> ")
+    xref_off = len(out)
+
+    def row(t, f2, f3):
+        return bytes([t, (f2 >> 8) & 0xFF, f2 & 0xFF, f3])
+
+    rows = [
+        row(0, 0, 255),
+        row(2, 6, xref_idx[0]), row(2, 6, xref_idx[1]),
+        row(2, 6, xref_idx[2]), row(2, 6, xref_idx[3]),
+        row(1, offsets[5], 0), row(1, offsets[6], 0),
+        row(1, xref_off, 0),
+    ]
+    size = 8
+    if extends:
+        rows.append(row(1, offsets[8], 0))
+        size = 9
+    xdata = flate(png_up_encode(rows))
+    xdict = (
+        b"/Type /XRef /Size %d /W [1 2 1] /Root 1 0 R "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>"
+        % size
+    )
+    out += _stream_obj(7, xdict, xdata)
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
+def f90_objstm_extends() -> bytes:
+    """/Extends chain present: the reference has NO /Extends code
+    (parser/__init__.py:1065-1127 never reads the key), so a stream whose
+    objects are all locally indexed extracts normally and the extension
+    stream is never consulted.  Probed r04: both engines OK."""
+    return _objstm_doc(extends=True)
+
+
+def f91_objstm_id_mismatch() -> bytes:
+    """Objstm index claims bogus object ids (all 99) at correct offsets:
+    GetObjectTokens ignores the index ids — the xref row's POSITION wins
+    (reference :1126 'the object id in [0] is ignored').  Extracts
+    normally in both engines."""
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, HELV),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+    ]
+    bodies = b""
+    offs = []
+    for _oid, body in inner:
+        offs.append((99, len(bodies)))
+        bodies += body + b" "
+    return _objstm_doc(index_override=offs)
+
+
+def f92_objstm_n_short() -> bytes:
+    """N=3 with an xref row pointing at index 3: reference KeyError at
+    GetObjectTokens -> doc dies.  Probed r04: doc failure both engines."""
+    return _objstm_doc(n=3)
+
+
+def f93_objstm_n_long() -> bytes:
+    """N=5 with 4 real index pairs: the reference slurps the first body
+    token into the index and dies (TypeError on '<<' - 1).  Doc failure
+    both engines."""
+    return _objstm_doc(n=5)
+
+
+def f94_objstm_first_shift() -> bytes:
+    """/First 4 bytes long: every lexpos window shifts into the wrong
+    bytes -> truncated catalog dict -> doc failure both engines."""
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, HELV),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+    ]
+    bodies = b""
+    offs = []
+    for oid, body in inner:
+        offs.append((oid, len(bodies)))
+        bodies += body + b" "
+    index = b" ".join(b"%d %d" % (o, off) for o, off in offs) + b" "
+    return _objstm_doc(first=len(index) + 4)
+
+
+def f95_objstm_swapped_rows() -> bytes:
+    """xref rows point at permuted objstm positions (catalog row -> index
+    1, pages row -> index 0): position wins, the graph comes out scrambled
+    (catalog loads the pages dict) -> doc failure both engines."""
+    return _objstm_doc(xref_idx=(1, 0, 2, 3))
+
+
+def f96_objstm_window_cut() -> bytes:
+    """A phantom 5th index entry whose offset points 2 bytes before the
+    font's true end: the reference's lexpos window drops the font dict's
+    '>>' (handler raises 'Did not find end of dictionary'); our positional
+    parser instead chokes eagerly parsing the phantom entry.  Different
+    mechanism, same observable: doc failure both engines."""
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    offsets[5] = len(out)
+    out += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Objstm probe) Tj ET")
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        (3, HELV),
+    ]
+    bodies = b""
+    offs = []
+    for oid, body in inner:
+        offs.append((oid, len(bodies)))
+        bodies += body + b" "
+    font_off = offs[3][1]
+    pairs = offs + [(9, font_off + len(HELV) - 2)]
+    index = b" ".join(b"%d %d" % (o, off) for o, off in pairs) + b" "
+    objstm_data = index + bodies
+    offsets[6] = len(out)
+    out += _stream_obj(
+        6, b"/Type /ObjStm /N %d /First %d" % (len(pairs), len(index)),
+        objstm_data)
+    xref_off = len(out)
+
+    def row(t, f2, f3):
+        return bytes([t, (f2 >> 8) & 0xFF, f2 & 0xFF, f3])
+
+    rows = [
+        row(0, 0, 255),
+        row(2, 6, 0), row(2, 6, 1), row(2, 6, 3),
+        row(2, 6, 2),
+        row(1, offsets[5], 0), row(1, offsets[6], 0),
+        row(1, xref_off, 0),
+    ]
+    xdata = flate(png_up_encode(rows))
+    xdict = (
+        b"/Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>"
+    )
+    out += _stream_obj(7, xdict, xdata)
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1720,6 +1903,13 @@ FIXTURES = {
     "f87_td_after_draw": f87_td_after_draw,
     "f88_tf_inf": f88_tf_inf,
     "f89_tf_nearmax": f89_tf_nearmax,
+    "f90_objstm_extends": f90_objstm_extends,
+    "f91_objstm_id_mismatch": f91_objstm_id_mismatch,
+    "f92_objstm_n_short": f92_objstm_n_short,
+    "f93_objstm_n_long": f93_objstm_n_long,
+    "f94_objstm_first_shift": f94_objstm_first_shift,
+    "f95_objstm_swapped_rows": f95_objstm_swapped_rows,
+    "f96_objstm_window_cut": f96_objstm_window_cut,
 }
 
 

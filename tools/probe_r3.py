@@ -807,5 +807,244 @@ PROBES["run_formfeed"] = p_run_formfeed
 PROBES["run_brace"] = p_run_brace
 
 
+# --------------------------------------------------------------------------
+# Round-4 dark corner: ObjectStream /Extends + N/First mismatches
+# (reference parser/__init__.py:1065-1127: index = first N*2 TOKENS, object
+# i's tokens selected by lexpos in [off_i+First, off_{i+1}-1+First], object
+# id in the index IGNORED — the xref row's position wins)
+
+from fixtures.pdfgen import flate, png_up_encode, _stream_obj  # noqa: E402
+
+
+def _objstm_doc(n=None, first=None, index_override=None, extends=False,
+                xref_idx=(0, 1, 2, 3), pad=b""):
+    """f05-shaped doc with tweakable /N, /First, index pairs, /Extends and
+    inter-object padding.  Objects 1..4 (catalog/pages/font/page) live in
+    objstm 6; content stream 5 is plain."""
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    offsets[5] = len(out)
+    out += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Objstm probe) Tj ET")
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, HELV),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+    ]
+    bodies = b""
+    offs = []
+    for oid, body in inner:
+        offs.append((oid, len(bodies)))
+        bodies += body + pad + b" "
+    pairs = index_override if index_override is not None else offs
+    index = b" ".join(b"%d %d" % (o, off) for o, off in pairs) + b" "
+    objstm_data = index + bodies
+    n_val = len(inner) if n is None else n
+    first_val = len(index) if first is None else first
+    extra = b"/Type /ObjStm /N %d /First %d" % (n_val, first_val)
+    if extends:
+        extra += b" /Extends 8 0 R"
+    offsets[6] = len(out)
+    out += _stream_obj(6, extra, objstm_data)
+    if extends:
+        # a second object stream holding nothing reachable
+        offsets[8] = len(out)
+        out += _stream_obj(8, b"/Type /ObjStm /N 1 /First 4",
+                           b"9 0 << /X 1 >> ")
+    xref_off = len(out)
+
+    def row(t, f2, f3):
+        return bytes([t, (f2 >> 8) & 0xFF, f2 & 0xFF, f3])
+
+    rows = [
+        row(0, 0, 255),
+        row(2, 6, xref_idx[0]), row(2, 6, xref_idx[1]),
+        row(2, 6, xref_idx[2]), row(2, 6, xref_idx[3]),
+        row(1, offsets[5], 0), row(1, offsets[6], 0),
+        row(1, xref_off, 0),
+    ]
+    size = 8
+    if extends:
+        rows.append(row(1, offsets[8], 0))
+        size = 9
+    xdata = flate(png_up_encode(rows))
+    xdict = (
+        b"/Type /XRef /Size %d /W [1 2 1] /Root 1 0 R "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>"
+        % size
+    )
+    out += _stream_obj(7 if not extends else 7, xdict, xdata)
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
+def p_objstm_baseline() -> bytes:
+    return _objstm_doc()
+
+
+def p_objstm_extends() -> bytes:
+    """/Extends present: the reference has no /Extends code at all."""
+    return _objstm_doc(extends=True)
+
+
+def p_objstm_wrong_end() -> bytes:
+    """Object 2's (pages) declared end cuts into its body: index offset of
+    object 3 points 10 bytes before the font really starts.  The reference
+    slices tokens by lexpos -> pages dict tokens truncated."""
+    inner_offs = []
+    bodies = b""
+    for oid, body in [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, HELV),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+    ]:
+        inner_offs.append((oid, len(bodies)))
+        bodies += body + b" "
+    # shift object 3's declared start 10 bytes EARLIER (into object 2)
+    tweaked = [
+        inner_offs[0], inner_offs[1],
+        (3, inner_offs[2][1] - 10), inner_offs[3],
+    ]
+    return _objstm_doc(index_override=tweaked)
+
+
+def p_objstm_n_short() -> bytes:
+    """N=3 but the xref row for oid 4 says index 3 -> reference KeyError."""
+    return _objstm_doc(n=3)
+
+
+def p_objstm_n_long() -> bytes:
+    """N=5 with only 4 index pairs: the reference slurps the first body
+    token ('<<') into the index."""
+    return _objstm_doc(n=5)
+
+
+def _first_delta(delta: int) -> bytes:
+    """/First shifted by delta bytes: every token window moves."""
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, HELV),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+    ]
+    bodies = b""
+    offs = []
+    for oid, body in inner:
+        offs.append((oid, len(bodies)))
+        bodies += body + b" "
+    index = b" ".join(b"%d %d" % (o, off) for o, off in offs) + b" "
+    return _objstm_doc(first=len(index) + delta)
+
+
+def p_objstm_first_minus4() -> bytes:
+    return _first_delta(-4)
+
+
+def p_objstm_first_plus4() -> bytes:
+    return _first_delta(+4)
+
+
+def p_objstm_id_mismatch() -> bytes:
+    """Index claims bogus object ids (all 99) at the right offsets: the
+    reference ignores the ids and selects by position."""
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, HELV),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+    ]
+    bodies = b""
+    offs = []
+    for oid, body in inner:
+        offs.append((99, len(bodies)))
+        bodies += body + b" "
+    return _objstm_doc(index_override=offs)
+
+
+def p_objstm_swapped_rows() -> bytes:
+    """xref rows point at PERMUTED positions (catalog row -> index 1):
+    position wins in the reference, so the graph comes out scrambled."""
+    return _objstm_doc(xref_idx=(1, 0, 2, 3))
+
+
+def _objstm_phantom(cut: int) -> bytes:
+    """Font LAST in the stream, plus a phantom 5th index entry whose offset
+    points ``cut`` bytes before the font's true end.  The reference's
+    lexpos-window truncates the font dict (phantom never loaded via xref);
+    our positional parser eagerly parses all indexed entries."""
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    offsets[5] = len(out)
+    out += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Objstm probe) Tj ET")
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        (3, HELV),
+    ]
+    bodies = b""
+    offs = []
+    for oid, body in inner:
+        offs.append((oid, len(bodies)))
+        bodies += body + b" "
+    font_off = offs[3][1]
+    phantom = (9, font_off + len(HELV) - cut)
+    pairs = offs + [phantom]
+    index = b" ".join(b"%d %d" % (o, off) for o, off in pairs) + b" "
+    objstm_data = index + bodies
+    offsets[6] = len(out)
+    out += _stream_obj(
+        6, b"/Type /ObjStm /N %d /First %d" % (len(pairs), len(index)),
+        objstm_data)
+    xref_off = len(out)
+
+    def row(t, f2, f3):
+        return bytes([t, (f2 >> 8) & 0xFF, f2 & 0xFF, f3])
+
+    rows = [
+        row(0, 0, 255),
+        row(2, 6, 0), row(2, 6, 1), row(2, 6, 3),  # 1,2 then 3 -> idx 3
+        row(2, 6, 2),                              # 4 -> idx 2
+        row(1, offsets[5], 0), row(1, offsets[6], 0),
+        row(1, xref_off, 0),
+    ]
+    xdata = flate(png_up_encode(rows))
+    xdict = (
+        b"/Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>"
+    )
+    out += _stream_obj(7, xdict, xdata)
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
+def p_objstm_phantom_cut10() -> bytes:
+    return _objstm_phantom(10)
+
+
+def p_objstm_phantom_cut2() -> bytes:
+    """Cut only the final '>>': font window loses its DICT_END."""
+    return _objstm_phantom(2)
+
+
+PROBES["objstm_phantom_cut10"] = p_objstm_phantom_cut10
+PROBES["objstm_phantom_cut2"] = p_objstm_phantom_cut2
+PROBES["objstm_baseline"] = p_objstm_baseline
+PROBES["objstm_extends"] = p_objstm_extends
+PROBES["objstm_wrong_end"] = p_objstm_wrong_end
+PROBES["objstm_n_short"] = p_objstm_n_short
+PROBES["objstm_n_long"] = p_objstm_n_long
+PROBES["objstm_first_minus4"] = p_objstm_first_minus4
+PROBES["objstm_first_plus4"] = p_objstm_first_plus4
+PROBES["objstm_id_mismatch"] = p_objstm_id_mismatch
+PROBES["objstm_swapped_rows"] = p_objstm_swapped_rows
+
+
 if __name__ == "__main__":
     main()
