@@ -1813,6 +1813,47 @@ def f96_objstm_window_cut() -> bytes:
     return bytes(out)
 
 
+def f97_qq_td_inside() -> bytes:
+    """Td+show inside q..Q: the reference pushes a DEEPCOPY of the whole
+    State incl. .text (state.py:104,162), so Q rewinds the text matrix —
+    (C) continues from (A)'s end, not (B)'s.  Probed r04, parity OK."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (A) Tj "
+                      b"q 0 -50 Td (B) Tj Q (C) Tj ET", HELV)
+
+
+def f98_qq_tf_inside() -> bytes:
+    """Tf size change inside q..Q reverts at Q (both engines draw Small
+    at 12pt after Big at 24pt)."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td q /F1 24 Tf (Big) Tj Q "
+                      b"(Small) Tj ET", HELV)
+
+
+def f99_qq_spanning_bt() -> bytes:
+    """q BT ... Q inside the text object: Q rewinds to the PRE-BT text
+    state (no font), so the post-Q show dies -> page drop both engines
+    (reference: 'Unrecognize font name' masked by its %d-of-Page
+    TypeError, still a page-level failure)."""
+    return simple_doc(b"q BT /F1 12 Tf 72 720 Td (A) Tj Q (B) Tj ET", HELV)
+
+
+def f100_qq_tf_before_bt() -> bytes:
+    """Font selected only inside a q..Q BEFORE BT: gone at show time ->
+    page drop both engines."""
+    return simple_doc(b"q /F1 12 Tf Q BT 72 720 Td (NoFont) Tj ET", HELV)
+
+
+def f101_qq_unbalanced_pop() -> bytes:
+    """Bare Q after ET with nothing pushed: 'Cannot pop initial values'
+    -> page drop both engines (the already-drawn text is discarded)."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (A) Tj ET Q", HELV)
+
+
+def f102_qq_unclosed_push() -> bytes:
+    """q never closed: the page ends cleanly in both engines (no
+    balance check at page end)."""
+    return simple_doc(b"q BT /F1 12 Tf 72 720 Td (Open q) Tj ET", HELV)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1910,6 +1951,12 @@ FIXTURES = {
     "f94_objstm_first_shift": f94_objstm_first_shift,
     "f95_objstm_swapped_rows": f95_objstm_swapped_rows,
     "f96_objstm_window_cut": f96_objstm_window_cut,
+    "f97_qq_td_inside": f97_qq_td_inside,
+    "f98_qq_tf_inside": f98_qq_tf_inside,
+    "f99_qq_spanning_bt": f99_qq_spanning_bt,
+    "f100_qq_tf_before_bt": f100_qq_tf_before_bt,
+    "f101_qq_unbalanced_pop": f101_qq_unbalanced_pop,
+    "f102_qq_unclosed_push": f102_qq_unclosed_push,
 }
 
 

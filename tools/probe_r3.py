@@ -1033,6 +1033,59 @@ def p_objstm_phantom_cut2() -> bytes:
     return _objstm_phantom(2)
 
 
+# --------------------------------------------------------------------------
+# Round-4 dark corner: q/Q vs text state (reference state.py:96-105 pushes
+# a deepcopy of the FULL State incl. .text — so Q restores Tm/Tlm/Tf/TL/...
+# even though the spec keeps the text matrix outside the graphics state)
+
+
+def p_qq_td_inside() -> bytes:
+    """Td+show inside q..Q: does Q rewind the text position for (C)?"""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td (A) Tj "
+                        b"q 0 -50 Td (B) Tj Q (C) Tj ET")
+
+
+def p_qq_tf_inside() -> bytes:
+    """Tf size change inside q..Q: reverted for (Small)?"""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td q /F1 24 Tf (Big) Tj Q "
+                        b"(Small) Tj ET")
+
+
+def p_qq_spanning_bt() -> bytes:
+    """q BT ... Tj Q (B) Tj ET: Q rewinds to PRE-BT text state (text
+    possibly None) — what happens to (B)?"""
+    return _content_doc(b"q BT /F1 12 Tf 72 720 Td (A) Tj Q (B) Tj ET")
+
+
+def p_qq_tf_before_bt() -> bytes:
+    """Tf set inside q..Q BEFORE BT; after Q the font should be gone —
+    does the later BT-show raise?"""
+    return _content_doc(b"q /F1 12 Tf Q BT 72 720 Td (NoFont) Tj ET")
+
+
+def p_qq_tl_inside() -> bytes:
+    """TL set inside q..Q; T* after Q uses which leading?"""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td q 50 TL Q T* (X) Tj ET")
+
+
+def p_qq_unbalanced_pop() -> bytes:
+    """Bare Q with nothing pushed: 'Cannot pop initial values'."""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td (A) Tj ET Q")
+
+
+def p_qq_unclosed_push() -> bytes:
+    """q never closed: does the page end cleanly?"""
+    return _content_doc(b"q BT /F1 12 Tf 72 720 Td (Open q) Tj ET")
+
+
+PROBES["qq_td_inside"] = p_qq_td_inside
+PROBES["qq_tf_inside"] = p_qq_tf_inside
+PROBES["qq_spanning_bt"] = p_qq_spanning_bt
+PROBES["qq_tf_before_bt"] = p_qq_tf_before_bt
+PROBES["qq_tl_inside"] = p_qq_tl_inside
+PROBES["qq_unbalanced_pop"] = p_qq_unbalanced_pop
+PROBES["qq_unclosed_push"] = p_qq_unclosed_push
+
 PROBES["objstm_phantom_cut10"] = p_objstm_phantom_cut10
 PROBES["objstm_phantom_cut2"] = p_objstm_phantom_cut2
 PROBES["objstm_baseline"] = p_objstm_baseline
