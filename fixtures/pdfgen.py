@@ -1854,6 +1854,87 @@ def f102_qq_unclosed_push() -> bytes:
     return simple_doc(b"q BT /F1 12 Tf 72 720 Td (Open q) Tj ET", HELV)
 
 
+def _t0_doc(desc_bodies: list[bytes], text_hex: bytes = b"<0041>",
+            font_extra: bytes = b"") -> bytes:
+    """Type0/Identity-H font with custom DescendantFonts objects 6..6+n
+    (the fontcache.py:370-452 dark-corner family, probed r04)."""
+    f = PdfFile()
+    n = len(desc_bodies)
+    refs = b" ".join(b"%d 0 R" % (6 + i) for i in range(n))
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type0 /BaseFont /Test-H "
+             b"/Encoding /Identity-H /DescendantFonts [" + refs + b"] " +
+          font_extra + b">>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td " + text_hex + b" Tj ET")
+    for i, body in enumerate(desc_bodies):
+        f.add(6 + i, body)
+    return f.build(1)
+
+
+def _cidfont(w: bytes) -> bytes:
+    return (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Test "
+            b"/CIDSystemInfo << /Registry (T) /Ordering (T) /Supplement 0 >> "
+            + w + b" >>")
+
+
+def f103_t0_w_float_start() -> bytes:
+    """W [ 65.5 [500] ]: the reference keeps the FLOAT base code as the
+    width-map key (no coercion), so integer cid 65 misses at draw ->
+    page drop.  Was a silent superset here (int() cast) until r04."""
+    return _t0_doc([_cidfont(b"/W [ 65.5 [500] ]")])
+
+
+def f104_t0_w_float_range() -> bytes:
+    """W [ 0.5 255 500 ]: range() on the float bound TypeErrors at font
+    build -> page drop.  Also a fixed r04 silent superset."""
+    return _t0_doc([_cidfont(b"/W [ 0.5 255 500 ]")])
+
+
+def f105_t0_two_descendants() -> bytes:
+    """Two descendant fonts with overlapping /W: width maps merge
+    last-wins per-CID (fontcache.py:391-395); extracts normally."""
+    return _t0_doc([_cidfont(b"/W [ 0 255 500 ]"),
+                    _cidfont(b"/W [ 65 [900] ]")])
+
+
+def f106_t0_empty_descendants() -> bytes:
+    """DescendantFonts []: empty width map -> avg-width division by zero
+    -> page drop both engines."""
+    return _t0_doc([])
+
+
+def f107_t0_no_w() -> bytes:
+    """Descendant without /W: page drop both engines (reference:
+    len(None) TypeError; ours: empty-map ZeroDivisionError)."""
+    return _t0_doc([_cidfont(b"")])
+
+
+def f108_t0_w_truncated() -> bytes:
+    """W [ 0 ]: lone int (reference IndexError at arr[i+1]) -> page
+    drop both engines."""
+    return _t0_doc([_cidfont(b"/W [ 0 ]")])
+
+
+def f109_t0_w_missing_cid() -> bytes:
+    """W covers 0..64 only; cid 65 missing from the width map at draw
+    -> page drop both engines."""
+    return _t0_doc([_cidfont(b"/W [ 0 64 500 ]")])
+
+
+def f110_t0_w_reverse_range() -> bytes:
+    """W [ 200 100 500 ]: empty range -> empty width map -> page drop."""
+    return _t0_doc([_cidfont(b"/W [ 200 100 500 ]")])
+
+
+def f111_t0_w_nested_empty() -> bytes:
+    """W [ 65 [] 65 [600] ]: empty inner array is a no-op segment; the
+    second segment supplies the width -> extracts normally."""
+    return _t0_doc([_cidfont(b"/W [ 65 [] 65 [600] ]")])
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -1957,6 +2038,15 @@ FIXTURES = {
     "f100_qq_tf_before_bt": f100_qq_tf_before_bt,
     "f101_qq_unbalanced_pop": f101_qq_unbalanced_pop,
     "f102_qq_unclosed_push": f102_qq_unclosed_push,
+    "f103_t0_w_float_start": f103_t0_w_float_start,
+    "f104_t0_w_float_range": f104_t0_w_float_range,
+    "f105_t0_two_descendants": f105_t0_two_descendants,
+    "f106_t0_empty_descendants": f106_t0_empty_descendants,
+    "f107_t0_no_w": f107_t0_no_w,
+    "f108_t0_w_truncated": f108_t0_w_truncated,
+    "f109_t0_w_missing_cid": f109_t0_w_missing_cid,
+    "f110_t0_w_reverse_range": f110_t0_w_reverse_range,
+    "f111_t0_w_nested_empty": f111_t0_w_nested_empty,
 }
 
 

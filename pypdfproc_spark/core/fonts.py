@@ -192,14 +192,21 @@ def identity_mapper(cid):
 
 
 def cid_width_array_to_map(arr: list) -> dict[int, float]:
-    """Both /W forms: ``start [w...]`` and ``lo hi w``."""
+    """Both /W forms: ``start [w...]`` and ``lo hi w``.
+
+    Float parity (probed r04, fontcache.py:455-492 CIDWidthArrayToMap):
+    the reference accepts floats in either form but never coerces — a
+    float base code produces FLOAT map keys (so integer cid lookups miss
+    -> draw-time page drop, f103), and a float range bound hits range()
+    and TypeErrors at font-cache build (also a page drop, f104).  Do NOT
+    int() these values."""
     out: dict[int, float] = {}
     i = 0
     n = len(arr)
     while i < n:
         a = arr[i]
         if isinstance(a, (int, float)) and i + 1 < n and isinstance(arr[i + 1], list):
-            base = int(a)
+            base = a
             for v in arr[i + 1]:
                 out[base] = v
                 base += 1
@@ -210,7 +217,7 @@ def cid_width_array_to_map(arr: list) -> dict[int, float]:
             and isinstance(arr[i + 1], (int, float))
             and isinstance(arr[i + 2], (int, float))
         ):
-            for k in range(int(a), int(arr[i + 1]) + 1):
+            for k in range(a, arr[i + 1] + 1):
                 out[k] = arr[i + 2]
             i += 3
         else:

@@ -1034,6 +1034,94 @@ def p_objstm_phantom_cut2() -> bytes:
 
 
 # --------------------------------------------------------------------------
+# Round-4 dark corner: Type0 DescendantFonts edges (fontcache.py:370-452:
+# widthmaps of ALL descendants merged last-wins; CIDWidthArrayToMap allows
+# floats; missing-cid width raises at draw)
+
+
+def _t0_doc(desc_bodies: list[bytes], text_hex: bytes = b"<0041>",
+            font_extra: bytes = b"") -> bytes:
+    """Type0/Identity-H font with custom DescendantFonts objects 6..6+n."""
+    f = PdfFile()
+    n = len(desc_bodies)
+    refs = b" ".join(b"%d 0 R" % (6 + i) for i in range(n))
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type0 /BaseFont /Test-H "
+             b"/Encoding /Identity-H /DescendantFonts [" + refs + b"] " +
+          font_extra + b">>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td " + text_hex + b" Tj ET")
+    for i, body in enumerate(desc_bodies):
+        f.add(6 + i, body)
+    return f.build(1)
+
+
+def _cidfont(w: bytes) -> bytes:
+    return (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Test "
+            b"/CIDSystemInfo << /Registry (T) /Ordering (T) /Supplement 0 >> "
+            + w + b" >>")
+
+
+def p_t0_two_descendants() -> bytes:
+    """Two descendant fonts, overlapping W: LAST should win per-CID."""
+    return _t0_doc([_cidfont(b"/W [ 0 255 500 ]"),
+                    _cidfont(b"/W [ 65 [900] ]")])
+
+
+def p_t0_empty_descendants() -> bytes:
+    """DescendantFonts []: width lookup must fail at draw."""
+    return _t0_doc([], text_hex=b"<0041>")
+
+
+def p_t0_no_w() -> bytes:
+    """Descendant without /W: CIDWidthArrayToMap(None)."""
+    return _t0_doc([_cidfont(b"")])
+
+
+def p_t0_w_float_start() -> bytes:
+    """W [ 65.5 [500] ]: float base code -> cid 65 not in map at draw."""
+    return _t0_doc([_cidfont(b"/W [ 65.5 [500] ]")])
+
+
+def p_t0_w_float_range() -> bytes:
+    """W [ 0.5 255 500 ]: range() on a float start."""
+    return _t0_doc([_cidfont(b"/W [ 0.5 255 500 ]")])
+
+
+def p_t0_w_truncated() -> bytes:
+    """W [ 0 ]: lone int, arr[i+1] is out of range."""
+    return _t0_doc([_cidfont(b"/W [ 0 ]")])
+
+
+def p_t0_w_missing_cid() -> bytes:
+    """W covers 0..64 only; drawing cid 65 ('A') must fail at draw."""
+    return _t0_doc([_cidfont(b"/W [ 0 64 500 ]")])
+
+
+def p_t0_w_reverse_range() -> bytes:
+    """W [ 200 100 500 ]: empty range -> no widths -> draw fails."""
+    return _t0_doc([_cidfont(b"/W [ 200 100 500 ]")])
+
+
+def p_t0_w_nested_empty() -> bytes:
+    """W [ 65 [] 65 [600] ]: empty inner array is a no-op segment."""
+    return _t0_doc([_cidfont(b"/W [ 65 [] 65 [600] ]")])
+
+
+PROBES["t0_two_descendants"] = p_t0_two_descendants
+PROBES["t0_empty_descendants"] = p_t0_empty_descendants
+PROBES["t0_no_w"] = p_t0_no_w
+PROBES["t0_w_float_start"] = p_t0_w_float_start
+PROBES["t0_w_float_range"] = p_t0_w_float_range
+PROBES["t0_w_truncated"] = p_t0_w_truncated
+PROBES["t0_w_missing_cid"] = p_t0_w_missing_cid
+PROBES["t0_w_reverse_range"] = p_t0_w_reverse_range
+PROBES["t0_w_nested_empty"] = p_t0_w_nested_empty
+
+
+# --------------------------------------------------------------------------
 # Round-4 dark corner: q/Q vs text state (reference state.py:96-105 pushes
 # a deepcopy of the FULL State incl. .text — so Q restores Tm/Tlm/Tf/TL/...
 # even though the spec keeps the text matrix outside the graphics state)
