@@ -1935,6 +1935,81 @@ def f111_t0_w_nested_empty() -> bytes:
     return _t0_doc([_cidfont(b"/W [ 65 [] 65 [600] ]")])
 
 
+def _simple_tu_doc(enc: bytes, cmap: bytes | None,
+                   enc_obj: bytes | None = None) -> bytes:
+    """TrueType font, /Encoding `enc` (or indirect object 6), optional
+    /ToUnicode stream 7, drawing (AB) — the ToUnicode-on-simple-fonts
+    dark-corner family (fontcache.py:140-229, probed r04)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    widths = b" ".join(b"450" for _ in range(10))  # 65..74
+    extra = b""
+    if cmap is not None:
+        f.add_stream(7, b"", cmap)
+        extra += b"/ToUnicode 7 0 R "
+    if enc_obj is not None:
+        f.add(6, enc_obj)
+        enc = b"6 0 R"
+    if enc:
+        extra += b"/Encoding " + enc + b" "
+    f.add(3, b"<< /Type /Font /Subtype /TrueType /BaseFont /TU "
+             b"/FirstChar 65 /LastChar 74 /Widths [%s] %s>>" % (widths, extra))
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (AB) Tj ET")
+    return f.build(1)
+
+
+_TU_AX = (b"/CIDInit /ProcSet findresource begin\n"
+          b"12 dict begin begincmap\n"
+          b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+          b"1 beginbfchar <41> <0058> endbfchar\n"
+          b"endcmap CMapName currentdict /CMap defineresource pop end end")
+
+_TU_BROKEN = (b"/CIDInit /ProcSet findresource begin\n"
+              b"12 dict begin begincmap\n"
+              b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+              b"1 beginbfchar <41> <0058>\n"
+              b"endcmap CMapName currentdict /CMap defineresource pop end end")
+
+
+def f112_tu_encdict_broken() -> bytes:
+    """Indirect Encoding dict + UNPARSEABLE ToUnicode, all glyphs
+    resolvable via the base encoding: the reference builds the CMapper
+    EAGERLY (fontcache.py:204-205), so the broken CMap kills the page
+    even though it is never consulted.  Was a silent superset (lazy
+    build) until r04."""
+    return _simple_tu_doc(b"", _TU_BROKEN,
+                          enc_obj=b"<< /Type /Encoding /BaseEncoding "
+                                  b"/WinAnsiEncoding /Differences [] >>")
+
+
+def f113_tu_named_enc_ignored() -> bytes:
+    """WinAnsiEncoding + ToUnicode mapping A->X: the named-encoding glyph
+    path (fontcache.py:140-175) never reads ToUnicode -> text stays AB."""
+    return _simple_tu_doc(b"/WinAnsiEncoding", _TU_AX)
+
+
+def f114_tu_named_enc_broken_ignored() -> bytes:
+    """WinAnsiEncoding + unparseable ToUnicode: never reached -> AB."""
+    return _simple_tu_doc(b"/WinAnsiEncoding", _TU_BROKEN)
+
+
+def f115_tu_encdict_not_consulted() -> bytes:
+    """Encoding dict with resolvable glyphs + ToUnicode A->X: the CMapper
+    is BUILT but only MissingGlyphName consults it -> AB, not XB."""
+    return _simple_tu_doc(b"", _TU_AX,
+                          enc_obj=b"<< /Type /Encoding /BaseEncoding "
+                                  b"/WinAnsiEncoding /Differences [] >>")
+
+
+def f116_tu_no_encoding() -> bytes:
+    """No /Encoding at all (ToUnicode present): the reference dispatch
+    has no handler for Encoding None -> page drop both engines."""
+    return _simple_tu_doc(b"", _TU_AX)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -2047,6 +2122,11 @@ FIXTURES = {
     "f109_t0_w_missing_cid": f109_t0_w_missing_cid,
     "f110_t0_w_reverse_range": f110_t0_w_reverse_range,
     "f111_t0_w_nested_empty": f111_t0_w_nested_empty,
+    "f112_tu_encdict_broken": f112_tu_encdict_broken,
+    "f113_tu_named_enc_ignored": f113_tu_named_enc_ignored,
+    "f114_tu_named_enc_broken_ignored": f114_tu_named_enc_broken_ignored,
+    "f115_tu_encdict_not_consulted": f115_tu_encdict_not_consulted,
+    "f116_tu_no_encoding": f116_tu_no_encoding,
 }
 
 

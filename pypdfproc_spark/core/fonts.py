@@ -379,6 +379,15 @@ class FontResolver:
         if diffs is None:
             diffs = differences_array_to_map(self.doc.resolve(enc.get("Differences")))
             self._diff_maps[dkey] = diffs
+        # Reference parity (probed r04, fontcache.py:204-205): on the
+        # encoding-dict path the ToUnicode CMapper is built EAGERLY —
+        # before any glyph resolution — so a malformed ToUnicode stream
+        # kills the page even when every glyph name resolves without it
+        # (f112).  Named-encoding fonts never touch ToUnicode at all.
+        tounicode = self.doc.resolve(font.get("ToUnicode"))
+        if isinstance(tounicode, StreamObj) and \
+                id(tounicode) not in self._cmappers:
+            self._cmappers[id(tounicode)] = compile_cmap(tounicode.data)
         if cid in diffs:
             gname = diffs[cid]
         elif cid in encmap:

@@ -1034,6 +1034,88 @@ def p_objstm_phantom_cut2() -> bytes:
 
 
 # --------------------------------------------------------------------------
+# Round-4 dark corner: ToUnicode on SIMPLE fonts (fontcache.py:140-229:
+# named-encoding path never reads ToUnicode; indirect-Encoding path builds
+# the CMapper EAGERLY but consults it only via MissingGlyphName)
+
+_TU_AX = (b"/CIDInit /ProcSet findresource begin\n"
+          b"12 dict begin begincmap\n"
+          b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+          b"1 beginbfchar <41> <0058> endbfchar\n"
+          b"endcmap CMapName currentdict /CMap defineresource pop end end")
+
+_TU_BROKEN = (b"/CIDInit /ProcSet findresource begin\n"
+              b"12 dict begin begincmap\n"
+              b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+              b"1 beginbfchar <41> <0058>\n"
+              b"endcmap CMapName currentdict /CMap defineresource pop end end")
+
+
+def _simple_tu_doc(enc: bytes, cmap: bytes | None,
+                   enc_obj: bytes | None = None) -> bytes:
+    """TrueType font, /Encoding `enc` (or indirect object 6), optional
+    /ToUnicode stream 7, drawing (AB)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    widths = b" ".join(b"450" for _ in range(10))  # 65..74
+    extra = b""
+    if cmap is not None:
+        f.add_stream(7, b"", cmap)
+        extra += b"/ToUnicode 7 0 R "
+    if enc_obj is not None:
+        f.add(6, enc_obj)
+        enc = b"6 0 R"
+    if enc:
+        extra += b"/Encoding " + enc + b" "
+    f.add(3, b"<< /Type /Font /Subtype /TrueType /BaseFont /TU "
+             b"/FirstChar 65 /LastChar 74 /Widths [%s] %s>>" % (widths, extra))
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (AB) Tj ET")
+    return f.build(1)
+
+
+def p_tu_named_enc() -> bytes:
+    """WinAnsi + ToUnicode 'A'->'X': does the named path read the CMap?"""
+    return _simple_tu_doc(b"/WinAnsiEncoding", _TU_AX)
+
+
+def p_tu_named_enc_broken() -> bytes:
+    """WinAnsi + UNPARSEABLE ToUnicode: reached at all?"""
+    return _simple_tu_doc(b"/WinAnsiEncoding", _TU_BROKEN)
+
+
+def p_tu_encdict_resolvable() -> bytes:
+    """Indirect Encoding dict, glyphs resolvable via base encoding, plus
+    ToUnicode 'A'->'X': is the CMap consulted when nothing is missing?"""
+    return _simple_tu_doc(b"", _TU_AX,
+                          enc_obj=b"<< /Type /Encoding /BaseEncoding "
+                                  b"/WinAnsiEncoding /Differences [] >>")
+
+
+def p_tu_encdict_broken() -> bytes:
+    """Indirect Encoding dict + BROKEN ToUnicode, glyphs resolvable: the
+    reference builds the CMapper eagerly (fontcache.py:204-205) — does the
+    build failure kill the page even though the CMap is never needed?"""
+    return _simple_tu_doc(b"", _TU_BROKEN,
+                          enc_obj=b"<< /Type /Encoding /BaseEncoding "
+                                  b"/WinAnsiEncoding /Differences [] >>")
+
+
+def p_tu_no_encoding() -> bytes:
+    """Simple font with NO /Encoding but a ToUnicode: which path?"""
+    return _simple_tu_doc(b"", _TU_AX)
+
+
+PROBES["tu_named_enc"] = p_tu_named_enc
+PROBES["tu_named_enc_broken"] = p_tu_named_enc_broken
+PROBES["tu_encdict_resolvable"] = p_tu_encdict_resolvable
+PROBES["tu_encdict_broken"] = p_tu_encdict_broken
+PROBES["tu_no_encoding"] = p_tu_no_encoding
+
+
+# --------------------------------------------------------------------------
 # Round-4 dark corner: Type0 DescendantFonts edges (fontcache.py:370-452:
 # widthmaps of ALL descendants merged last-wins; CIDWidthArrayToMap allows
 # floats; missing-cid width raises at draw)
