@@ -118,6 +118,41 @@ def _q_extract_spans(spark, sf_dir):
     )
 
 
+def _q_stream_batch_equivalence(spark, sf_dir):
+    """Streaming-vs-batch equivalence, driver-gated (r03 verdict stretch
+    item): the SAME 150-doc input runs through streaming/ingest.py's
+    stream_extract (readStream -> route -> Arrow extract -> writeStream,
+    availableNow trigger), and the emitted rows must equal the frozen
+    pure-Python extraction twin computed over ALL captures (the stream
+    path performs no latest-snapshot dedup)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pypdfproc_spark.streaming.ingest import stream_extract
+
+    base = tempfile.mkdtemp(prefix="stream_oracle_")
+    inp = os.path.join(base, "input")
+    outp = os.path.join(base, "results")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        pages = _pages_df(spark, sf_dir, limit=150)
+        pages.write.mode("overwrite").parquet(inp)
+        q = stream_extract(spark, inp, outp, ckpt, n_buckets=16,
+                           available_now=True)
+        q.awaitTermination()
+        res = spark.read.parquet(outp).select(
+            "url", F.col("page_no").cast("long").alias("page_no"),
+            "text", "parser",
+        )
+        # materialize before the temp dir disappears
+        collected = res.collect()
+        return spark.createDataFrame(collected, res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_extract_metrics(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -180,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pages_bucketed": _q_extract_pages_bucketed,
         "extract_metrics": _q_extract_metrics,
         "extract_spans": _q_extract_spans,
+        "stream_batch_equivalence": _q_stream_batch_equivalence,
     }
 
 
@@ -711,5 +747,11 @@ def oracle_sql() -> dict[str, str]:
     sql["extract_spans"] = """
         SELECT url, page_no, span_no, span_start, span_end, x, y
         FROM read_parquet('%s/extract_spans_sf001.parquet')
+    """ % _exp
+    # streaming == batch on the same input: the frozen twin extracts ALL
+    # captures (no dedup on the stream path)
+    sql["stream_batch_equivalence"] = """
+        SELECT url, page_no, text, parser
+        FROM read_parquet('%s/extract_stream_sf001.parquet')
     """ % _exp
     return sql

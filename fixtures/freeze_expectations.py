@@ -168,7 +168,18 @@ def expected_rows(sf_dir: str = SF_DIR, limit: int = LIMIT,
         (b, m[0], m[1], m[2], m[3], _round4(m[4] / m[0]))
         for b, m in metrics.items()
     ]
-    return page_rows, metrics_rows, span_rows
+
+    # streaming twin (stream_batch_equivalence oracle): the stream path
+    # has NO latest-snapshot dedup — every capture row extracts, so the
+    # twin runs over ALL rows, not best[url]
+    stream_rows = []
+    for url, _ts, payload, _text, _lang in rows:
+        r = extract_document(payload)
+        for page_no, text in enumerate(r.pages):
+            stream_rows.append((url, page_no, text, r.parser))
+        if not r.pages:
+            stream_rows.append((url, None, None, r.parser))
+    return page_rows, metrics_rows, span_rows, stream_rows
 
 
 def _round4(x: float) -> float:
@@ -180,11 +191,11 @@ def _round4(x: float) -> float:
                                            rounding=ROUND_HALF_UP))
 
 
-def freeze(out_dir: str = OUT_DIR) -> tuple[int, int, int]:
+def freeze(out_dir: str = OUT_DIR) -> tuple[int, int, int, int]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    page_rows, metrics_rows, span_rows = expected_rows()
+    page_rows, metrics_rows, span_rows, stream_rows = expected_rows()
     os.makedirs(out_dir, exist_ok=True)
 
     pcols = list(zip(*page_rows))
@@ -228,10 +239,23 @@ def freeze(out_dir: str = OUT_DIR) -> tuple[int, int, int]:
         ),
         os.path.join(out_dir, "extract_spans_sf001.parquet"),
     )
-    return len(page_rows), len(metrics_rows), len(span_rows)
+    tcols = list(zip(*stream_rows))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(tcols[0], pa.string()),
+                "page_no": pa.array(tcols[1], pa.int64()),
+                "text": pa.array(tcols[2], pa.string()),
+                "parser": pa.array(tcols[3], pa.string()),
+            }
+        ),
+        os.path.join(out_dir, "extract_stream_sf001.parquet"),
+    )
+    return len(page_rows), len(metrics_rows), len(span_rows), len(stream_rows)
 
 
 if __name__ == "__main__":
-    n_pages, n_buckets, n_spans = freeze()
-    print("froze %d page rows, %d metric buckets, %d span rows -> %s" % (
-        n_pages, n_buckets, n_spans, OUT_DIR))
+    n_pages, n_buckets, n_spans, n_stream = freeze()
+    print("froze %d page rows, %d metric buckets, %d span rows, "
+          "%d stream rows -> %s" % (
+              n_pages, n_buckets, n_spans, n_stream, OUT_DIR))

@@ -65,8 +65,8 @@ def test_frozen_expectations_are_current():
     """Regenerating from the current code must reproduce the committed
     parquet exactly (catches silent drift of pagesgen / extractor / dedup
     semantics vs the frozen oracle)."""
-    page_rows, metrics_rows, span_rows = expected_rows(SF_DIR, LIMIT,
-                                                       N_BUCKETS)
+    page_rows, metrics_rows, span_rows, stream_rows = expected_rows(
+        SF_DIR, LIMIT, N_BUCKETS)
 
     pt = pq.read_table(os.path.join(OUT_DIR, "extract_pages_sf001.parquet"))
     frozen_pages = set(zip(*(pt.column(c).to_pylist()
@@ -86,3 +86,13 @@ def test_frozen_expectations_are_current():
                                        "span_start", "span_end", "x", "y"))))
     assert set(span_rows) == frozen_spans
     assert len(span_rows) > 0
+
+    rt = pq.read_table(os.path.join(OUT_DIR, "extract_stream_sf001.parquet"))
+    frozen_stream = sorted(zip(*(rt.column(c).to_pylist()
+                                 for c in ("url", "page_no", "text",
+                                           "parser"))),
+                           key=repr)
+    assert sorted(stream_rows, key=repr) == frozen_stream
+    # the stream twin skips dedup, so it must carry at least the deduped
+    # row count (stale re-crawl captures extract too)
+    assert len(stream_rows) >= len(page_rows)
