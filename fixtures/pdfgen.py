@@ -2010,6 +2010,94 @@ def f116_tu_no_encoding() -> bytes:
     return _simple_tu_doc(b"", _TU_AX)
 
 
+def f117_hybrid_xrefstm_ignored() -> bytes:
+    """Hybrid file: plaintext xref covers only the free row; the trailer's
+    /XRefStm points at an xref stream indexing the whole graph.  The
+    reference has NO hybrid support (parser/__init__.py:95-160 walks only
+    /Prev) -> catalog unfindable -> doc dies.  Our chain-walk followed
+    /XRefStm until r04 — silent superset, fixed."""
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    bodies = {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        3: _obj(3, HELV),
+        4: _obj(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                   b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        5: _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Hybrid) Tj ET"),
+    }
+    for oid in sorted(bodies):
+        offsets[oid] = len(out)
+        out += bodies[oid]
+    xstm_off = len(out)
+
+    def row(t, f2, f3):
+        return bytes([t, (f2 >> 16) & 0xFF, (f2 >> 8) & 0xFF, f2 & 0xFF, f3])
+
+    rows = [row(0, 0, 255)] + [row(1, offsets[o], 0) for o in range(1, 6)]
+    rows.append(row(1, xstm_off, 0))
+    out += _stream_obj(
+        6, b"/Type /XRef /Size 7 /W [1 3 1] /Root 1 0 R /Filter /FlateDecode",
+        flate(b"".join(rows)))
+    xref_off = len(out)
+    out += (b"xref\n0 1\n0000000000 65535 f \n"
+            b"trailer\n<< /Size 7 /Root 1 0 R /XRefStm %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (xstm_off, xref_off))
+    return bytes(out)
+
+
+def f118_gen_mismatch_ref() -> bytes:
+    """Content ref '5 7 R' but object 5 is gen 0 in the xref: loads are
+    keyed (objid, generation) -> not found -> page drop both engines."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 7 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (Gen) Tj ET")
+    return f.build(1)
+
+
+def f119_gen_nonzero_row() -> bytes:
+    """xref row carries gen 00007 and the ref says '5 7 R': generation
+    agreement -> loads and extracts in both engines."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 7 R >>")
+    data = b"BT /F1 12 Tf 72 720 Td (GenRow) Tj ET"
+    f.bodies[5] = (b"5 7 obj\n<< /Length %d >>\nstream\n" % len(data)
+                   + data + b"\nendstream\nendobj\n")
+    doc = f.build(1)
+    lines = doc.split(b"\n")
+    xi = lines.index(b"xref")
+    lines[xi + 2 + 5] = lines[xi + 2 + 5].replace(b" 00000 n", b" 00007 n")
+    return b"\n".join(lines)
+
+
+def f120_startxref_mid_file() -> bytes:
+    """startxref points into an object body: xref sniff fails -> doc
+    dies in both engines (reference: NeedStreamLegnthError [sic])."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (Mid) Tj ET", HELV)
+    i = doc.rindex(b"startxref\n")
+    j = doc.index(b"\n", i + 10)
+    return doc[:i] + b"startxref\n42" + doc[j:]
+
+
+def f121_prev_self_loop() -> bytes:
+    """Trailer /Prev pointing at its own xref offset: NOT a hang — the
+    reference re-reads the section and dies ('Reached end-of-file before
+    xref was read'); our seen-offset cycle guard stops after one lap and
+    the re-parse attempt dies too.  Doc failure both engines."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (Loop) Tj ET", HELV)
+    xref_off = doc.rindex(b"xref\n")
+    return doc.replace(b"trailer\n<< /Size",
+                       b"trailer\n<< /Prev %d /Size" % xref_off)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -2127,6 +2215,11 @@ FIXTURES = {
     "f114_tu_named_enc_broken_ignored": f114_tu_named_enc_broken_ignored,
     "f115_tu_encdict_not_consulted": f115_tu_encdict_not_consulted,
     "f116_tu_no_encoding": f116_tu_no_encoding,
+    "f117_hybrid_xrefstm_ignored": f117_hybrid_xrefstm_ignored,
+    "f118_gen_mismatch_ref": f118_gen_mismatch_ref,
+    "f119_gen_nonzero_row": f119_gen_nonzero_row,
+    "f120_startxref_mid_file": f120_startxref_mid_file,
+    "f121_prev_self_loop": f121_prev_self_loop,
 }
 
 

@@ -585,11 +585,14 @@ class PdfDocument:
                 if not newest_trailer_set:
                     self.trailer = trailer
                     newest_trailer_set = True
+                # Reference parity (probed r04, f117): the reference has NO
+                # hybrid-file support — a trailer's /XRefStm key is never
+                # read (parser/__init__.py:95-160 walks only /Prev), so
+                # objects indexed solely by the hybrid stream stay
+                # unfindable and the doc dies.  Was a silent superset here.
                 prev = trailer.get("Prev")
                 if isinstance(prev, int):
                     offset = prev
-                elif "XRefStm" in trailer and isinstance(trailer["XRefStm"], int):
-                    offset = trailer["XRefStm"]
                 else:
                     offset = 0
             else:

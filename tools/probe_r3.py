@@ -813,7 +813,7 @@ PROBES["run_brace"] = p_run_brace
 # i's tokens selected by lexpos in [off_i+First, off_{i+1}-1+First], object
 # id in the index IGNORED — the xref row's position wins)
 
-from fixtures.pdfgen import flate, png_up_encode, _stream_obj  # noqa: E402
+from fixtures.pdfgen import flate, png_up_encode, _stream_obj, _obj  # noqa: E402
 
 
 def _objstm_doc(n=None, first=None, index_override=None, extends=False,
@@ -1031,6 +1031,107 @@ def p_objstm_phantom_cut10() -> bytes:
 def p_objstm_phantom_cut2() -> bytes:
     """Cut only the final '>>': font window loses its DICT_END."""
     return _objstm_phantom(2)
+
+
+# --------------------------------------------------------------------------
+# Round-4 dark corner: xref-chain edges (parser/__init__.py:95-160: no
+# /XRefStm hybrid handling anywhere; chain keyed (objid, generation))
+
+
+def p_hybrid_xrefstm() -> bytes:
+    """Hybrid file: plaintext xref covers only the content stream; the
+    trailer's /XRefStm points at an xref stream that indexes the graph
+    objects.  A reader honoring /XRefStm extracts; one ignoring it cannot
+    find the catalog."""
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    bodies = {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        3: _obj(3, HELV),
+        4: _obj(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                   b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        5: _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Hybrid) Tj ET"),
+    }
+    for oid in sorted(bodies):
+        offsets[oid] = len(out)
+        out += bodies[oid]
+    # xref stream (object 6) indexing objects 1..5 as type-1 rows
+    xstm_off = len(out)
+
+    def row(t, f2, f3):
+        return bytes([t, (f2 >> 16) & 0xFF, (f2 >> 8) & 0xFF, f2 & 0xFF, f3])
+
+    rows = [row(0, 0, 255)] + [row(1, offsets[o], 0) for o in range(1, 6)]
+    rows.append(row(1, xstm_off, 0))
+    xdata = flate(b"".join(rows))
+    out += _stream_obj(
+        6, b"/Type /XRef /Size 7 /W [1 3 1] /Root 1 0 R /Filter /FlateDecode",
+        xdata)
+    # plaintext xref: single subsection covering ONLY object 0 (free)
+    xref_off = len(out)
+    out += (b"xref\n0 1\n0000000000 65535 f \n"
+            b"trailer\n<< /Size 7 /Root 1 0 R /XRefStm %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (xstm_off, xref_off))
+    return bytes(out)
+
+
+def p_gen_mismatch_ref() -> bytes:
+    """Content ref '5 7 R' but object 5 is gen 0 in the xref: the load is
+    keyed (objid, generation) -> not found."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 7 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (Gen) Tj ET")
+    return f.build(1)
+
+
+def p_gen_nonzero_row() -> bytes:
+    """xref row for object 5 carries gen 00007 and the ref says '5 7 R':
+    both sides agree on the nonzero generation -> loads?"""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 7 R >>")
+    data = b"BT /F1 12 Tf 72 720 Td (GenRow) Tj ET"
+    f.bodies[5] = (b"5 7 obj\n<< /Length %d >>\nstream\n" % len(data)
+                   + data + b"\nendstream\nendobj\n")
+    doc = f.build(1)
+    # patch the xref row for oid 5: replace 'NNNNNNNNNN 00000 n' gen field
+    lines = doc.split(b"\n")
+    # xref rows come after 'xref'; object 5 is the 6th row (0-based idx 5)
+    xi = lines.index(b"xref")
+    rowline = lines[xi + 2 + 5]
+    lines[xi + 2 + 5] = rowline.replace(b" 00000 n", b" 00007 n")
+    return b"\n".join(lines)
+
+
+def p_startxref_mid_file() -> bytes:
+    """startxref points into the middle of an object body."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (Mid) Tj ET", HELV)
+    i = doc.rindex(b"startxref\n")
+    j = doc.index(b"\n", i + 10)
+    return doc[:i] + b"startxref\n42" + doc[j:]
+
+
+def p_prev_self_loop() -> bytes:
+    """Trailer /Prev pointing at its own xref offset: chain cycle."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (Loop) Tj ET", HELV)
+    xref_off = doc.rindex(b"xref\n")
+    return doc.replace(b"trailer\n<< /Size",
+                       b"trailer\n<< /Prev %d /Size" % xref_off)
+
+
+PROBES["hybrid_xrefstm"] = p_hybrid_xrefstm
+PROBES["gen_mismatch_ref"] = p_gen_mismatch_ref
+PROBES["gen_nonzero_row"] = p_gen_nonzero_row
+PROBES["startxref_mid_file"] = p_startxref_mid_file
+PROBES["prev_self_loop"] = p_prev_self_loop
 
 
 # --------------------------------------------------------------------------
