@@ -2098,6 +2098,53 @@ def f121_prev_self_loop() -> bytes:
                        b"trailer\n<< /Prev %d /Size" % xref_off)
 
 
+def f122_no_contents() -> bytes:
+    """Page without /Contents: the reference reads .Stream off None
+    (AttributeError) -> the page DROPS; it is not an empty page.  Ours
+    returned '' until r04 — silent superset, fixed."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> >>")
+    return f.build(1)
+
+
+def f123_contents_split_bt() -> bytes:
+    """BT..ET split across a two-stream /Contents array: the ' '-join
+    (reference __init__.py:312-325) makes '(Sp' + 'lit)' lex as the
+    literal '(Sp lit)' — the joiner byte lands INSIDE the string."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> "
+             b"/Contents [5 0 R 6 0 R] >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (Sp")
+    f.add_stream(6, b"", b"lit) Tj ET")
+    return f.build(1)
+
+
+def f124_do_self_cycle() -> bytes:
+    """Form XObject Do-invoking itself: unguarded recursion in both
+    engines -> Python RecursionError -> page drop (the text drawn before
+    the Do is discarded with the page)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> "
+             b"/XObject << /X1 6 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (Before) Tj ET /X1 Do")
+    f.add_stream(6, b"/Type /XObject /Subtype /Form "
+                    b"/Resources << /XObject << /X1 6 0 R >> >>",
+                 b"/X1 Do")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -2220,6 +2267,9 @@ FIXTURES = {
     "f119_gen_nonzero_row": f119_gen_nonzero_row,
     "f120_startxref_mid_file": f120_startxref_mid_file,
     "f121_prev_self_loop": f121_prev_self_loop,
+    "f122_no_contents": f122_no_contents,
+    "f123_contents_split_bt": f123_contents_split_bt,
+    "f124_do_self_cycle": f124_do_self_cycle,
 }
 
 

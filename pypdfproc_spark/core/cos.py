@@ -732,7 +732,10 @@ class PdfDocument:
         (__init__.py:312-325)."""
         cts = self.resolve(page.get("Contents"))
         if cts is None:
-            return b""
+            # reference parity (probed r04, f122): page.Contents is None ->
+            # '.Stream' AttributeError -> the page DROPS; it does not
+            # render as an empty page
+            raise PdfError("page has no /Contents")
         if isinstance(cts, list):
             parts = []
             for c in cts:

@@ -1127,6 +1127,52 @@ def p_prev_self_loop() -> bytes:
                        b"trailer\n<< /Prev %d /Size" % xref_off)
 
 
+def p_no_contents() -> bytes:
+    """Page without /Contents: reference reads .Stream off None?"""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> >>")
+    return f.build(1)
+
+
+def p_contents_split_bt() -> bytes:
+    """BT..ET split across a two-stream /Contents array (legal after the
+    ' '-join)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> "
+             b"/Contents [5 0 R 6 0 R] >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (Sp")
+    f.add_stream(6, b"", b"lit) Tj ET")
+    return f.build(1)
+
+
+def p_do_self_cycle() -> bytes:
+    """Form XObject whose content Do-invokes itself: recursion."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> "
+             b"/XObject << /X1 6 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (Before) Tj ET /X1 Do")
+    f.add_stream(6, b"/Type /XObject /Subtype /Form "
+                    b"/Resources << /XObject << /X1 6 0 R >> >>",
+                 b"/X1 Do")
+    return f.build(1)
+
+
+PROBES["no_contents"] = p_no_contents
+PROBES["contents_split_bt"] = p_contents_split_bt
+PROBES["do_self_cycle"] = p_do_self_cycle
+
 PROBES["hybrid_xrefstm"] = p_hybrid_xrefstm
 PROBES["gen_mismatch_ref"] = p_gen_mismatch_ref
 PROBES["gen_nonzero_row"] = p_gen_nonzero_row
