@@ -2145,6 +2145,40 @@ def f124_do_self_cycle() -> bytes:
     return f.build(1)
 
 
+def f125_lit_octal() -> bytes:
+    """Octal escapes: 3-digit \\101\\102 -> AB; 2-digit mid-string
+    \\41B -> '!B' (non-digit terminates the short form)."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (\\101\\102 A\\41B) Tj ET",
+                      HELV)
+
+
+def f126_lit_octal_truncated() -> bytes:
+    """1-2 octal digits at the literal's END: the reference's unguarded
+    digit lookahead (lit[i+2]/lit[i+3], __init__.py:700-710) IndexErrors
+    -> page drop; short octal does NOT decode at end-of-string.  Our
+    bounds-guarded decoder extracted 'A ' here until r04 — fixed."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (A\\40) Tj ET", HELV)
+
+
+def f127_lit_octal_8() -> bytes:
+    """\\8: '8' passes isdigit but int(base 8) ValueErrors -> page
+    drop in both engines."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (A\\8B) Tj ET", HELV)
+
+
+def f128_lit_backslash_eol() -> bytes:
+    """Backslash-newline: spec says line continuation, but SplitLiteral
+    KEEPS the raw newline (__init__.py:666-668) -> glyph ord 10 -> not in
+    the encoding map -> page drop in both engines."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (AB\\\nCD) Tj ET", HELV)
+
+
+def f129_lit_raw_newline() -> bytes:
+    """Unescaped newline inside a literal: kept as a char -> glyph ord 10
+    -> page drop in both engines."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (AB\nCD) Tj ET", HELV)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -2270,6 +2304,11 @@ FIXTURES = {
     "f122_no_contents": f122_no_contents,
     "f123_contents_split_bt": f123_contents_split_bt,
     "f124_do_self_cycle": f124_do_self_cycle,
+    "f125_lit_octal": f125_lit_octal,
+    "f126_lit_octal_truncated": f126_lit_octal_truncated,
+    "f127_lit_octal_8": f127_lit_octal_8,
+    "f128_lit_backslash_eol": f128_lit_backslash_eol,
+    "f129_lit_raw_newline": f129_lit_raw_newline,
 }
 
 

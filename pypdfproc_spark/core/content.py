@@ -311,14 +311,24 @@ def split_literal(raw: bytes) -> list[str]:
             ret.append("\f")
             i += 2
         elif nxt.isdigit():
-            # NB: the reference indexes lit[i+2]/lit[i+3] unguarded and dies
-            # with IndexError at end-of-string (same page-drop outcome).
-            if i + 3 < imax and lit[i + 2].isdigit() and lit[i + 3].isdigit():
-                ret.append(chr(int(lit[i + 1 : i + 4], 8)))
-                i += 4
-            elif i + 2 < imax and lit[i + 2].isdigit():
-                ret.append(chr(int(lit[i + 1 : i + 3], 8)))
-                i += 3
+            # The reference's digit lookahead is UNGUARDED (__init__.py:
+            # 700-710): after one octal digit it always reads lit[i+2],
+            # and after two digits lit[i+3] — so 1 or 2 digits sitting at
+            # the very end of the literal die with IndexError (page drop,
+            # f126), they do NOT decode as short octal.  Short octal only
+            # works when a non-digit follows (f125 '\\41B' -> '!B').
+            if i + 2 >= imax:
+                raise ContentError("octal escape truncated at literal end")
+            if lit[i + 2].isdigit():
+                if i + 3 >= imax:
+                    raise ContentError(
+                        "octal escape truncated at literal end")
+                if lit[i + 3].isdigit():
+                    ret.append(chr(int(lit[i + 1 : i + 4], 8)))
+                    i += 4
+                else:
+                    ret.append(chr(int(lit[i + 1 : i + 3], 8)))
+                    i += 3
             else:
                 ret.append(chr(int(nxt, 8)))
                 i += 2

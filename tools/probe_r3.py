@@ -1169,6 +1169,54 @@ def p_do_self_cycle() -> bytes:
     return f.build(1)
 
 
+def p_lit_backslash_eol() -> bytes:
+    """Literal with backslash-newline: spec says line continuation (drop
+    both); SplitLiteral KEEPS the raw newline char -> glyph ord 10."""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td (AB\\\nCD) Tj ET")
+
+
+def p_lit_raw_newline() -> bytes:
+    """Raw (unescaped) newline inside a literal."""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td (AB\nCD) Tj ET")
+
+
+def p_lit_octal3() -> bytes:
+    """3-digit octal \\101 -> 'A'."""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td (\\101\\102) Tj ET")
+
+
+def p_lit_octal_end() -> bytes:
+    """Octal escape truncated at string end '(A\\4)': the 2-digit
+    lookahead lit[i+2] IndexErrors."""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td (A\\4) Tj ET")
+
+
+def p_lit_octal_8() -> bytes:
+    """\\8: '8' passes isdigit but int('008', 8) ValueErrors."""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td (A\\8B) Tj ET")
+
+
+def p_lit_octal2_mid() -> bytes:
+    """2-digit octal mid-string '(A\\41B)': int('041',8)=33 '!'... or is
+    it consumed as 3-digit with the 'B'? '4','1' digits, 'B' not ->
+    2-digit branch -> '!'."""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td (A\\41B) Tj ET")
+
+
+def p_lit_octal2_end() -> bytes:
+    """'(A\\40)': two octal digits AT string end — the 3-digit branch's
+    lit[i+3] lookahead IndexErrors before the 2-digit branch runs."""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td (A\\40) Tj ET")
+
+
+PROBES["lit_octal2_end"] = p_lit_octal2_end
+PROBES["lit_backslash_eol"] = p_lit_backslash_eol
+PROBES["lit_raw_newline"] = p_lit_raw_newline
+PROBES["lit_octal3"] = p_lit_octal3
+PROBES["lit_octal_end"] = p_lit_octal_end
+PROBES["lit_octal_8"] = p_lit_octal_8
+PROBES["lit_octal2_mid"] = p_lit_octal2_mid
+
 PROBES["no_contents"] = p_no_contents
 PROBES["contents_split_bt"] = p_contents_split_bt
 PROBES["do_self_cycle"] = p_do_self_cycle
