@@ -67,11 +67,14 @@ def main() -> None:
     goldens = freeze()
     os.makedirs(os.path.dirname(GOLDENS_PATH), exist_ok=True)
     with open(GOLDENS_PATH, "w") as fh:
-        json.dump(goldens, fh, indent=1, ensure_ascii=False)
+        # ensure_ascii: golden text can contain LONE SURROGATES (f131 — the
+        # reference emits chr(0xD835) verbatim); raw utf-8 output cannot
+        # encode them, so escape to \uXXXX which JSON round-trips exactly
+        json.dump(goldens, fh, indent=1, ensure_ascii=True)
     sys.stdout.write("wrote %s (%d fixtures)\n" % (GOLDENS_PATH, len(goldens)))
     hg = freeze_html()
     with open(HTML_GOLDENS_PATH, "w") as fh:
-        json.dump(hg, fh, indent=1, ensure_ascii=False)
+        json.dump(hg, fh, indent=1, ensure_ascii=True)
     sys.stdout.write("wrote %s (%d fixtures)\n" % (HTML_GOLDENS_PATH, len(hg)))
 
 

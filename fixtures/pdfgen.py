@@ -2179,6 +2179,35 @@ def f129_lit_raw_newline() -> bytes:
     return simple_doc(b"BT /F1 12 Tf 72 720 Td (AB\nCD) Tj ET", HELV)
 
 
+def f130_cmap_astral_dst() -> bytes:
+    """bfchar dst <D835DC63> (the CORRECT UTF-16BE surrogate pair for an
+    astral char): BuildMapper does chr(0xD835DC63) -> OverflowError ->
+    page drop in both engines.  Astral ToUnicode values are simply
+    unsupported by the reference."""
+    cm = (_CMAP_SCAFFOLD_TOP
+          + b"1 beginbfchar <0041> <D835DC63> endbfchar"
+          + _CMAP_SCAFFOLD_END)
+    return _type0_cmap_doc(cm, b"<0041>")
+
+
+def f131_cmap_lone_surrogate() -> bytes:
+    """bfchar dst <D835>: chr(0xD835) is a LONE SURROGATE — it rides
+    through extraction into the output in both engines."""
+    cm = (_CMAP_SCAFFOLD_TOP
+          + b"1 beginbfchar <0041> <D835> endbfchar"
+          + _CMAP_SCAFFOLD_END)
+    return _type0_cmap_doc(cm, b"<0041>")
+
+
+def f132_cmap_cidrange() -> bytes:
+    """begincidrange <0040> <0060> 97: the CODE CODE INT triple fills
+    rangedat; mapper yields chr(97 + cid - 0x40) -> 'bc'."""
+    cm = (_CMAP_SCAFFOLD_TOP
+          + b"1 begincidrange <0040> <0060> 97 endcidrange"
+          + _CMAP_SCAFFOLD_END)
+    return _type0_cmap_doc(cm, b"<00410042>")
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -2309,6 +2338,9 @@ FIXTURES = {
     "f127_lit_octal_8": f127_lit_octal_8,
     "f128_lit_backslash_eol": f128_lit_backslash_eol,
     "f129_lit_raw_newline": f129_lit_raw_newline,
+    "f130_cmap_astral_dst": f130_cmap_astral_dst,
+    "f131_cmap_lone_surrogate": f131_cmap_lone_surrogate,
+    "f132_cmap_cidrange": f132_cmap_cidrange,
 }
 
 

@@ -814,6 +814,7 @@ PROBES["run_brace"] = p_run_brace
 # id in the index IGNORED — the xref row's position wins)
 
 from fixtures.pdfgen import flate, png_up_encode, _stream_obj, _obj  # noqa: E402
+from fixtures.pdfgen import _CMAP_SCAFFOLD_TOP, _CMAP_SCAFFOLD_END  # noqa: E402
 
 
 def _objstm_doc(n=None, first=None, index_override=None, extends=False,
@@ -1208,6 +1209,37 @@ def p_lit_octal2_end() -> bytes:
     lit[i+3] lookahead IndexErrors before the 2-digit branch runs."""
     return _content_doc(b"BT /F1 12 Tf 72 720 Td (A\\40) Tj ET")
 
+
+def p_cmap_astral_dst() -> bytes:
+    """bfchar dst <D835DC63> (UTF-16BE surrogate pair for an astral
+    char): BuildMapper does chr(0xD835DC63) -> ValueError."""
+    cm = (_CMAP_SCAFFOLD_TOP
+          + b"1 beginbfchar <0041> <D835DC63> endbfchar"
+          + _CMAP_SCAFFOLD_END)
+    return _type0_doc(cm, b"<0041>")
+
+
+def p_cmap_lone_surrogate() -> bytes:
+    """bfchar dst <D835>: chr(0xD835) is a LONE SURROGATE in Python —
+    extracted text carries it."""
+    cm = (_CMAP_SCAFFOLD_TOP
+          + b"1 beginbfchar <0041> <D835> endbfchar"
+          + _CMAP_SCAFFOLD_END)
+    return _type0_doc(cm, b"<0041>")
+
+
+def p_cmap_cidrange() -> bytes:
+    """begincidrange <0040> <0060> 97: mapper hits rangedat ->
+    chr(97 + cid - 0x40)."""
+    cm = (_CMAP_SCAFFOLD_TOP
+          + b"1 begincidrange <0040> <0060> 97 endcidrange"
+          + _CMAP_SCAFFOLD_END)
+    return _type0_doc(cm, b"<00410042>")
+
+
+PROBES["cmap_astral_dst"] = p_cmap_astral_dst
+PROBES["cmap_lone_surrogate"] = p_cmap_lone_surrogate
+PROBES["cmap_cidrange"] = p_cmap_cidrange
 
 PROBES["lit_octal2_end"] = p_lit_octal2_end
 PROBES["lit_backslash_eol"] = p_lit_backslash_eol
