@@ -2208,6 +2208,31 @@ def f132_cmap_cidrange() -> bytes:
     return _type0_cmap_doc(cm, b"<00410042>")
 
 
+def f133_tj_positive_kern() -> bytes:
+    """TJ with POSITIVE kerns: the implied-space rule is
+    abs(w) > 0.5*avg (__init__.py:603) — +400 draws a space even though
+    the pen moves LEFT; +20 stays below threshold."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td "
+                      b"[(Hello) 400 (World) 20 (!)] TJ ET", HELV)
+
+
+def f134_gs_font_ref() -> bytes:
+    """ExtGState /Font [3 0 R 14]: gs assigns the indirect REF to Tf
+    (__init__.py:394-396), and the next show's font lookup cannot treat
+    a Ref as a resource name -> page drop in both engines (the
+    reference additionally trips its own %d-of-Page error formatting)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> "
+             b"/ExtGState << /GS1 6 0 R >> >> /Contents 5 0 R >>")
+    f.add(6, b"<< /Type /ExtGState /Font [3 0 R 14] >>")
+    f.add_stream(5, b"", b"/GS1 gs BT 72 720 Td (ViaGs) Tj ET")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -2341,6 +2366,8 @@ FIXTURES = {
     "f130_cmap_astral_dst": f130_cmap_astral_dst,
     "f131_cmap_lone_surrogate": f131_cmap_lone_surrogate,
     "f132_cmap_cidrange": f132_cmap_cidrange,
+    "f133_tj_positive_kern": f133_tj_positive_kern,
+    "f134_gs_font_ref": f134_gs_font_ref,
 }
 
 

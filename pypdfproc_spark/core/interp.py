@@ -250,8 +250,13 @@ class PageInterpreter:
             if fonts is None:
                 continue
             if fontname not in fonts:
+                # NB: fontname can be a NON-STRING (e.g. a Ref when an
+                # ExtGState /Font entry set Tf to an indirect reference,
+                # f134) — tuple-typed values need the 1-tuple wrap or the
+                # %-format itself TypeErrors (as the reference's own
+                # GetFont error formatting does, __init__.py:146)
                 raise InterpError(
-                    "unrecognized font name %r for page" % fontname
+                    "unrecognized font name %r for page" % (fontname,)
                 )
             return self.doc.resolve(fonts[fontname])
         raise InterpError("unable to find font %r" % fontname)

@@ -1237,6 +1237,31 @@ def p_cmap_cidrange() -> bytes:
     return _type0_doc(cm, b"<00410042>")
 
 
+def p_tj_positive_kern() -> bytes:
+    """TJ with POSITIVE kerns: the space rule is abs(w) > 0.5*avg, so
+    +400 draws a space too (text moves LEFT but a space appears)."""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td "
+                        b"[(Hello) 400 (World) 20 (!)] TJ ET")
+
+
+def p_gs_font_ref() -> bytes:
+    """ExtGState /Font [3 0 R 14]: gs sets Tf to the indirect REF, and
+    the next show's GetFont(page, ref) cannot resolve a name."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> "
+             b"/ExtGState << /GS1 6 0 R >> >> /Contents 5 0 R >>")
+    f.add(6, b"<< /Type /ExtGState /Font [3 0 R 14] >>")
+    f.add_stream(5, b"", b"/GS1 gs BT 72 720 Td (ViaGs) Tj ET")
+    return f.build(1)
+
+
+PROBES["tj_positive_kern"] = p_tj_positive_kern
+PROBES["gs_font_ref"] = p_gs_font_ref
+
 PROBES["cmap_astral_dst"] = p_cmap_astral_dst
 PROBES["cmap_lone_surrogate"] = p_cmap_lone_surrogate
 PROBES["cmap_cidrange"] = p_cmap_cidrange
