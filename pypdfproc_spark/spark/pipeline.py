@@ -119,12 +119,31 @@ def _make_extract_batch(pkg_root: str, columns: list,
 
         _filters.EXTENDED_FILTERS = extended_filters
 
+        import re as _re
+
+        _surr = _re.compile("[\ud800-\udfff]")
+
+        def _utf8_safe(s):
+            # Arrow transfer and parquet storage require VALID UTF-8, but
+            # a ToUnicode CMap can emit lone surrogates (the reference
+            # passes chr(0xD835) through verbatim — pinned f131) which
+            # utf-8 cannot encode: unsanitized they kill the whole Arrow
+            # batch (a single hostile document failing the task at scale).
+            # Deterministic boundary rule: each lone surrogate code unit
+            # becomes U+FFFD.  The in-process core API stays byte-exact;
+            # only the columnar boundary is sanitized.
+            try:
+                s.encode("utf-8")
+                return s
+            except UnicodeEncodeError:
+                return _surr.sub("�", s)
+
         rows = []
         for payload in html:
             r = extract_document(payload)
             rows.append(
                 (
-                    r.pages,
+                    [_utf8_safe(p) for p in r.pages],
                     # tuples -> lists; Arrow casts the int fields to double
                     [[list(s) for s in page] for page in r.spans],
                     r.parser,

@@ -113,9 +113,16 @@ def test_golden_parity_through_spark(spark):
             got.setdefault(r.url.split("//")[1], {})
             continue
         got.setdefault(r.url.split("//")[1], {})[r.page_no] = r.text
+    # the pipeline's columnar boundary replaces lone surrogates with
+    # U+FFFD (Arrow/parquet require valid UTF-8; pipeline._utf8_safe,
+    # pinned by f131) — apply the same deterministic rule to the goldens
+    import re as _re
+
+    _surr = _re.compile("[\ud800-\udfff]")
     for name, pages in GOLDENS.items():
         mine = got.get(name, {})
-        assert [mine[i] for i in sorted(mine)] == pages, name
+        exp = [_surr.sub("�", p) for p in pages]
+        assert [mine[i] for i in sorted(mine)] == exp, name
 
 
 def test_resume_checkpoint(spark, pages_df):
