@@ -2233,6 +2233,55 @@ def f134_gs_font_ref() -> bytes:
     return f.build(1)
 
 
+def f135_encrypt_plaintext() -> bytes:
+    """/Encrypt present but streams are PLAINTEXT (broken producer): the
+    reference has no decryption AND no fast-fail — it parses the streams
+    and extracts.  Our doc-level /Encrypt fast-fail was a silent
+    superset, removed r04."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (NotReallyEncrypted) Tj ET")
+    f.add(6, b"<< /Filter /Standard /V 1 /R 2 /O (x) /U (y) /P -44 >>")
+    return f.build(1, extra_trailer=b"/Encrypt 6 0 R ")
+
+
+def f136_encrypted_garbage() -> bytes:
+    """/Encrypt with actually-unreadable ('ciphertext') streams: each
+    page's content fails to lex -> per-PAGE drops (n_pages counted,
+    pages_dropped counted), NOT a doc-level failure."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", bytes(range(48, 90)) * 2)
+    f.add(6, b"<< /Filter /Standard /V 1 /R 2 /O (x) /U (y) /P -44 >>")
+    return f.build(1, extra_trailer=b"/Encrypt 6 0 R ")
+
+
+def f137_no_root() -> bytes:
+    """Trailer without /Root: doc-level failure in both engines."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (NoRoot) Tj ET", HELV)
+    return doc.replace(b"/Root 1 0 R ", b"")
+
+
+def f138_tj_empty_array() -> bytes:
+    """[] TJ is a zero-element show; the following Tj draws normally."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td [] TJ (After) Tj ET", HELV)
+
+
+def f139_tj_outside_bt() -> bytes:
+    """Show with no BT: the text matrix is None at draw time ->
+    AttributeError page drop in both engines."""
+    return simple_doc(b"/F1 12 Tf (Loose) Tj BT /F1 12 Tf "
+                      b"72 720 Td (Inside) Tj ET", HELV)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -2368,6 +2417,11 @@ FIXTURES = {
     "f132_cmap_cidrange": f132_cmap_cidrange,
     "f133_tj_positive_kern": f133_tj_positive_kern,
     "f134_gs_font_ref": f134_gs_font_ref,
+    "f135_encrypt_plaintext": f135_encrypt_plaintext,
+    "f136_encrypted_garbage": f136_encrypted_garbage,
+    "f137_no_root": f137_no_root,
+    "f138_tj_empty_array": f138_tj_empty_array,
+    "f139_tj_outside_bt": f139_tj_outside_bt,
 }
 
 

@@ -620,11 +620,13 @@ class PdfDocument:
                 offset = prev if isinstance(prev, int) else 0
         if not self.trailer:
             raise PdfError("no trailer found")
-        if "Encrypt" in self.trailer:
-            # encrypted documents are out of scope (the reference has no
-            # decryption either); fail fast with a typed, metric-countable
-            # error instead of producing garbage downstream
-            raise PdfError("encrypted document (/Encrypt present)")
+        # Reference parity (probed r04, f135-f136): /Encrypt is IGNORED —
+        # the reference has no decryption code and no fast-fail either, so
+        # a really-encrypted doc just page-drops as its garbage streams
+        # fail to lex, while a broken producer that sets /Encrypt on
+        # plaintext streams EXTRACTS normally.  The previous doc-level
+        # fast-fail here was a silent superset (wrong text on the
+        # plaintext case, wrong metrics shape on the garbage case).
 
     # ------------------------------------------------------------------
     # object access

@@ -1259,6 +1259,57 @@ def p_gs_font_ref() -> bytes:
     return f.build(1)
 
 
+def p_encrypted_doc() -> bytes:
+    """Trailer carries /Encrypt: the reference has no decryption at all —
+    what does it do with RC4-'encrypted' (here: garbage) streams?"""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", bytes(range(48, 90)) * 2)  # 'ciphertext'
+    f.add(6, b"<< /Filter /Standard /V 1 /R 2 /O (x) /U (y) /P -44 >>")
+    return f.build(1, extra_trailer=b"/Encrypt 6 0 R ")
+
+
+def p_no_root() -> bytes:
+    """Trailer without /Root."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (NoRoot) Tj ET", HELV)
+    return doc.replace(b"/Root 1 0 R ", b"")
+
+
+def p_tj_empty_array() -> bytes:
+    """[] TJ: zero-element show."""
+    return _content_doc(b"BT /F1 12 Tf 72 720 Td [] TJ (After) Tj ET")
+
+
+def p_tj_outside_bt() -> bytes:
+    """Tj with no BT: text matrix is None at draw time."""
+    return _content_doc(b"/F1 12 Tf (Loose) Tj BT /F1 12 Tf "
+                        b"72 720 Td (Inside) Tj ET")
+
+
+def p_encrypt_plaintext() -> bytes:
+    """/Encrypt present but the streams are PLAINTEXT (broken producer):
+    with no decryption code, the reference just parses them."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (NotReallyEncrypted) Tj ET")
+    f.add(6, b"<< /Filter /Standard /V 1 /R 2 /O (x) /U (y) /P -44 >>")
+    return f.build(1, extra_trailer=b"/Encrypt 6 0 R ")
+
+
+PROBES["encrypt_plaintext"] = p_encrypt_plaintext
+PROBES["encrypted_doc"] = p_encrypted_doc
+PROBES["no_root"] = p_no_root
+PROBES["tj_empty_array"] = p_tj_empty_array
+PROBES["tj_outside_bt"] = p_tj_outside_bt
+
 PROBES["tj_positive_kern"] = p_tj_positive_kern
 PROBES["gs_font_ref"] = p_gs_font_ref
 
