@@ -2282,6 +2282,28 @@ def f139_tj_outside_bt() -> bytes:
                       b"72 720 Td (Inside) Tj ET", HELV)
 
 
+def f140_symbol_font() -> bytes:
+    """Standard-14 Symbol, no /Encoding: the AFM path looks glyphs up by
+    LITERAL char name ('A'), which Symbol's AFM (alpha, beta, ...) does
+    not contain -> KeyError page drop in both engines."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (Aab) Tj ET",
+                      b"<< /Type /Font /Subtype /Type1 /BaseFont /Symbol >>")
+
+
+def f141_zapf_font() -> bytes:
+    """ZapfDingbats: same literal-name AFM miss -> page drop."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (abc) Tj ET",
+                      b"<< /Type /Font /Subtype /Type1 "
+                      b"/BaseFont /ZapfDingbats >>")
+
+
+def f142_times_bold() -> bytes:
+    """Times-Bold via the AFM width path extracts normally."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (Bold text) Tj ET",
+                      b"<< /Type /Font /Subtype /Type1 "
+                      b"/BaseFont /Times-Bold >>")
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -2422,6 +2444,9 @@ FIXTURES = {
     "f137_no_root": f137_no_root,
     "f138_tj_empty_array": f138_tj_empty_array,
     "f139_tj_outside_bt": f139_tj_outside_bt,
+    "f140_symbol_font": f140_symbol_font,
+    "f141_zapf_font": f141_zapf_font,
+    "f142_times_bold": f142_times_bold,
 }
 
 

@@ -1304,6 +1304,29 @@ def p_encrypt_plaintext() -> bytes:
     return f.build(1, extra_trailer=b"/Encrypt 6 0 R ")
 
 
+def p_symbol_font() -> bytes:
+    """Standard-14 Symbol font, no /Encoding: the AFM path maps via
+    glyph names (alpha, beta...)."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (Aab) Tj ET",
+                      b"<< /Type /Font /Subtype /Type1 /BaseFont /Symbol >>")
+
+
+def p_zapf_font() -> bytes:
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (abc) Tj ET",
+                      b"<< /Type /Font /Subtype /Type1 "
+                      b"/BaseFont /ZapfDingbats >>")
+
+
+def p_times_bold() -> bytes:
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (Bold text) Tj ET",
+                      b"<< /Type /Font /Subtype /Type1 "
+                      b"/BaseFont /Times-Bold >>")
+
+
+PROBES["symbol_font"] = p_symbol_font
+PROBES["zapf_font"] = p_zapf_font
+PROBES["times_bold"] = p_times_bold
+
 PROBES["encrypt_plaintext"] = p_encrypt_plaintext
 PROBES["encrypted_doc"] = p_encrypted_doc
 PROBES["no_root"] = p_no_root
