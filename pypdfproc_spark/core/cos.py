@@ -93,24 +93,43 @@ _REGULAR = bytes(
 
 import re as _re
 
-# master token regex (C-speed alternation; order matters: dict delims
-# before hex, numbers before bare keywords).  Semantically identical to the
-# hand loop it replaced; literal strings keep the manual balanced scan.
-# leading whitespace/comments are folded into the token regex so the hot
-# path costs ONE re.match per token instead of two
+# master token regex (C-speed alternation), mirroring the reference COS
+# lexer's EXACT character classes (parser/pdf.py:37-107, probed r04 via
+# tools/diff_fuzz.py):
+#  - whitespace is ONLY [\t\n\r ] (t_WS): NUL/\x0c/\x0b are NOT folded —
+#    standalone they are lexer errors, but INSIDE a name they are legal
+#    name bytes (t_NAME body excludes only ()<>[]/ and the 4 ws chars, so
+#    '/P\x00ges' is ONE name — f143).  '{' '}' '%' '#' are name bytes too
+#    (no #-hex decoding anywhere in the reference).
+#  - comments: %[^\r\n]+ is consumed, EXCEPT %%EOF which is a real token
+#    (t_EOF is defined before t_COMMENT); a bare '%' before EOL matches
+#    neither -> lexer error.
+#  - numbers follow t_FLOAT [-+]?\d*\.\d* THEN t_INT (function order):
+#    '1.2.3' lexes as floats 1.2 and .3; '.' matches FLOAT then dies in
+#    float() (ValueError).
+#  - keywords are LITERAL rules tried longest-first with NO word
+#    boundary ('nu' lexes as keyword n + error at u); there is no generic
+#    keyword class — any other bare run is a lexer error at its first
+#    byte.
+#  - t_NAME requires 1+ body chars: a bare '/' is a lexer error.
+# Literal strings keep the manual balanced scan; leading ws/comments are
+# folded into the token regex so the hot path costs ONE re.match/token.
 _TOKEN_RE = _re.compile(
     rb"""
-    (?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*
+    (?:[\t\n\r ]+|%(?!%EOF)[^\r\n]+)*
     (?:
-      (?P<num>[+-]?[0-9.]+)
-    | (?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)
-    | (?P<kw>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)
+      (?P<eofm>%%EOF)
+    | (?P<flt>[+-]?[0-9]*\.[0-9]*)
+    | (?P<num>[+-]?[0-9]+)
+    | (?P<name>/[^\t\n\r ()<>\[\]/]+)
     | (?P<dicto><<)
-    | (?P<hex><[^>]*>)
+    | (?P<hex><[0-9A-Fa-f]+>)
     | (?P<dictc>>>)
     | (?P<arro>\[)
     | (?P<arrc>\])
     | (?P<lito>\()
+    | (?P<kw>endstream|startxref|trailer|endobj|stream|false|true|null
+        |xref|obj|R|n|f)
     )?
     """,
     _re.VERBOSE,
@@ -206,6 +225,11 @@ class Scanner:
                 return ("name", m.group("name")[1:].decode("latin-1"))
             if kind == "kw":
                 return ("kw", m.group("kw").decode("latin-1"))
+            if kind == "eofm":
+                # %%EOF is a real token in the reference (t_EOF precedes
+                # t_COMMENT); in a value position the parser rejects it
+                # exactly like the reference's consolidation does
+                return ("kw", "%%EOF")
             if kind == "dicto":
                 return ("dict<", None)
             if kind == "dictc":
@@ -415,9 +439,14 @@ class Parser:
                 raise PdfError("expected endstream, got %r" % (t,))
             val = StreamObj(val, raw)
             t = self.sc.next_token()
-        if t != ("kw", "endobj"):
-            # tolerate missing endobj (some writers omit it)
-            pass
+        # Reference parity (diff_fuzz r04): _LoadObject tokenizes FORWARD
+        # until a literal endobj token, IGNORING extra well-formed tokens
+        # after the value — but any byte that fails to lex before that
+        # endobj kills the object load (a corrupted 'endobj' itself is
+        # such a byte).  Lexing to end-of-data without finding endobj is
+        # tolerated (f68).
+        while t != ("kw", "endobj") and t[0] != "eof":
+            t = self.sc.next_token()
         return objid, gen, val
 
 
@@ -644,11 +673,11 @@ class PdfDocument:
             raise PdfError("object %d %d not in xref" % key)
         if isinstance(loc, int):
             p = Parser(self.data, loc, doc=self)
-            objid, gen, val = p.parse_indirect_object()
-            if objid != ref.objid:
-                raise PdfError(
-                    "xref points %r at object %d" % (key, objid)
-                )
+            # reference parity (diff_fuzz r04): _LoadObject parses
+            # whatever sits at the xref offset and NEVER validates the
+            # 'N G obj' header ids against the row that led here — a
+            # corrupted header id still loads (f17 dup_mid)
+            _objid, _gen, val = p.parse_indirect_object()
         else:
             _, stm_oid, idx = loc
             val = self._load_from_objstm(stm_oid, idx)
