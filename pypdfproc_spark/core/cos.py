@@ -171,6 +171,34 @@ _TOKEN_RE_CONTENT = _re.compile(
 )
 
 
+# CMap variant, mirroring parser/cmap.py exactly: its own keyword set
+# (PostScript scaffolding words are TOKENS, longest-first, no generic
+# run class — unknown runs are t_error), comments are %[^\r\n]* with no
+# %%EOF carve-out, '(' and ')' are plain LIT_START/LIT_END tokens (there
+# is NO literal-content rule: string bodies must lex as other tokens or
+# they die), FLOAT before INT, CODE = <hex+> strict.
+_TOKEN_RE_CMAP = _re.compile(
+    rb"""
+    (?:[\t\n\r ]+|%[^\r\n]*)*
+    (?:
+      (?P<flt>[+-]?[0-9]*\.[0-9]*)
+    | (?P<num>[+-]?[0-9]+)
+    | (?P<name>/[^\t\n\r ()<>\[\]/]+)
+    | (?P<hex><[0-9A-Fa-f]+>)
+    | (?P<dicto><<)
+    | (?P<dictc>>>)
+    | (?P<arro>\[)
+    | (?P<arrc>\])
+    | (?P<kw>begincodespacerange|endcodespacerange|begincidrange
+        |endcidrange|beginbfrange|endbfrange|beginbfchar|endbfchar
+        |defineresource|findresource|currentdict|begincmp|endcmp
+        |CMapName|begin|end|dict|def|cmap|pop|dup|[()])
+    )?
+    """,
+    _re.VERBOSE,
+)
+
+
 class Scanner:
     """Single-pass tokenizer over bytes.
 
@@ -181,13 +209,15 @@ class Scanner:
 
     __slots__ = ("data", "pos", "_re")
 
-    def __init__(self, data: bytes, pos: int = 0, content: bool = False):
+    def __init__(self, data: bytes, pos: int = 0, content: bool = False,
+                 cmap: bool = False):
         self.data = data
         self.pos = pos
         # content=True swaps in the reference text-lexer's character
-        # classes (see _TOKEN_RE_CONTENT above); COS parsing keeps the
-        # COS lexer's classes
-        self._re = _TOKEN_RE_CONTENT if content else _TOKEN_RE
+        # classes (_TOKEN_RE_CONTENT); cmap=True the cmap lexer's
+        # (_TOKEN_RE_CMAP); COS parsing keeps the COS lexer's classes
+        self._re = (_TOKEN_RE_CONTENT if content
+                    else _TOKEN_RE_CMAP if cmap else _TOKEN_RE)
 
     def peek_token(self):
         save = self.pos
@@ -330,7 +360,15 @@ class Scanner:
             except ValueError:
                 raise PdfError("malformed number %r at %d" % (text, i)) from None
 
-        # bare keyword / operator
+        # bare keyword / operator run.  CONTENT mode only: the text lexer
+        # has a generic operator class.  In COS mode every valid keyword
+        # was already matched by the literal alternation in _TOKEN_RE, so
+        # any run reaching here is a reference t_error (pdf.py:102-104) —
+        # raise at the first byte exactly like PLY does (diff_fuzz r04:
+        # 'åndobj' after a flipped bit must kill the object load, not
+        # lex as an unknown keyword that a scan-to-endobj tolerates).
+        if self._re is not _TOKEN_RE_CONTENT:
+            raise PdfError("unexpected byte 0x%02x at %d" % (b, i))
         j = i
         while j < n and data[j] in _REGULAR:
             j += 1

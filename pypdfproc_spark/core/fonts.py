@@ -78,7 +78,10 @@ def compile_cmap(data: bytes):
     CODEs, INTs, begin/end bfchar/bfrange/cidrange keywords; everything else
     is PostScript scaffolding and ignored.
     """
-    sc = Scanner(data)
+    # cmap mode: the reference cmap lexer's own classes (parser/cmap.py —
+    # PostScript scaffolding words are literal tokens, unknown runs are
+    # lexer errors, '('/')' are bare tokens with no content rule)
+    sc = Scanner(data, cmap=True)
     toks: list[tuple[str, object]] = []
     while True:
         kind, val = sc.next_token()
