@@ -629,6 +629,29 @@ class PdfDocument:
         rest = sc.data[sc.pos:]
         if not rest.lstrip(WHITESPACE).startswith(b"%%EOF"):
             raise PdfError("%%EOF marker missing after startxref")
+        # Reference parity (diff_fuzz r04): the tail parse tokenizes
+        # EVERYTHING from the found startxref line to EOF with no
+        # streamlength context (parser/__init__.py:84-106 + pdf.py:151),
+        # so remnants after %%EOF — e.g. a truncated incremental update —
+        # are lexed too: a 'stream' keyword raises NeedStreamLegnthError
+        # there, unlexable bytes raise, and the consolidation pass dies
+        # on an unbalanced dict/array.  Recovering to the previous
+        # snapshot would be nicer; the reference does not.
+        depth = 0
+        while True:
+            tk = sc.next_token()
+            if tk[0] == "eof":
+                break
+            if tk == ("kw", "stream"):
+                raise PdfError(
+                    "stream token in startxref tail (reference "
+                    "NeedStreamLegnthError)")
+            if tk[0] in ("dict<", "arr<"):
+                depth += 1
+            elif tk[0] in ("dict>", "arr>"):
+                depth -= 1
+        if depth > 0:
+            raise PdfError("unbalanced dict/array in startxref tail")
         return t[1]
 
     def _walk_xref_chain(self) -> None:
@@ -639,10 +662,45 @@ class PdfDocument:
             seen.add(offset)
             if offset >= len(self.data):
                 raise PdfError("xref offset beyond EOF")
-            # Sniff: xref stream starts with "INT INT obj" (reference:
-            # parser/__init__.py:212-237); plaintext starts with 'xref'.
-            sc = Scanner(self.data, offset)
-            t = sc.peek_token()
+            # Sniff EXACTLY like the reference (parser/__init__.py:212-237,
+            # diff_fuzz r04): read the single LINE at the offset and
+            # tokenize it — ONLY a line of exactly "INT INT obj" is an
+            # xref stream (the header must sit alone on its line; a
+            # leading blank line or any other shape routes to the
+            # plaintext path).  The plaintext path then requires a line
+            # starting with 'trailer' somewhere ahead (the reference
+            # collects lines until it; EOF first is a doc-level error) —
+            # so an offset shifted into whitespace before an xref-stream
+            # object dies instead of being whitespace-folded.
+            eol = self.data.find(b"\n", offset)
+            line = self.data[offset: eol if eol != -1 else len(self.data)]
+            line = line.rstrip()
+            lsc = Scanner(line)
+            ltoks = []
+            while True:
+                lt = lsc.next_token()  # garbage on the line raises, like
+                if lt[0] == "eof":     # the reference's TokenizeString
+                    break
+                ltoks.append(lt)
+            is_stream = (
+                len(ltoks) == 3
+                and ltoks[0][0] == "int"
+                and ltoks[1][0] == "int"
+                and ltoks[2] == ("kw", "obj")
+            )
+            if not is_stream:
+                scan = offset
+                while True:
+                    if scan >= len(self.data):
+                        raise PdfError(
+                            "reached EOF before xref was read")
+                    le = self.data.find(b"\n", scan)
+                    if le == -1:
+                        le = len(self.data)
+                    if self.data[scan:le].startswith(b"trailer"):
+                        break
+                    scan = le + 1
+            t = ("kw", "xref") if not is_stream else None
             if t == ("kw", "xref"):
                 entries, trailer, sxr = _parse_xref_table(self.data, offset)
                 for objid, gen, off, in_use in entries:

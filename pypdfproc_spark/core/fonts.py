@@ -194,6 +194,27 @@ def identity_mapper(cid):
 # width helpers (reference: fontcache.py:454-514)
 
 
+_FONT_SUBTYPES = ("Type0", "Type1", "Type3", "TrueType",
+                  "CIDFontType0", "CIDFontType2")
+
+
+def validate_font_dict(fd) -> None:
+    """Reference _ParseFont parity (parser/__init__.py:666-689, diff_fuzz
+    r04): EVERY font object load reads o['Type'] and o['Subtype'] (a
+    missing key KeyErrors -> page drop) and rejects subtypes outside the
+    six-entry dispatch ('Unrecognized object type ... neither Type1,
+    Type3, or TrueType')."""
+    if not isinstance(fd, dict):
+        raise FontError("font object is not a dictionary")
+    if "Type" not in fd:
+        raise FontError("font missing /Type")
+    if "Subtype" not in fd:
+        raise FontError("font missing /Subtype")
+    if fd["Subtype"] not in _FONT_SUBTYPES:
+        raise FontError(
+            "unrecognized font subtype %r" % (fd["Subtype"],))
+
+
 def cid_width_array_to_map(arr: list) -> dict[int, float]:
     """Both /W forms: ``start [w...]`` and ``lo hi w``.
 
@@ -235,7 +256,10 @@ def differences_array_to_map(arr: list) -> dict[int, str]:
     assigned as a glyph name at the auto-incremented code."""
     out: dict[int, str] = {}
     code = 0
-    for item in arr or []:
+    # reference parity (diff_fuzz r04): a MISSING /Differences reaches
+    # DifferencesArrayToMap as None and dies iterating it
+    # (fontcache.py:505 TypeError) -> page drop; do NOT default to empty
+    for item in arr:
         if isinstance(item, int):
             code = item
         else:
@@ -278,6 +302,7 @@ class FontResolver:
         g = cache.get(cid)
         if g is not None:
             return g
+        validate_font_dict(font)
         subtype = font.get("Subtype")
         if subtype == "Type0":
             g = self._glyph_type0(font, cid)
@@ -470,9 +495,13 @@ class FontResolver:
         widthmap: dict[int, float] = {}
         for sub in self.doc.resolve(font.get("DescendantFonts")) or []:
             sub = self.doc.resolve(sub)
+            # each descendant loads through _ParseFont in the reference:
+            # Type/Subtype required, subtype must be in the dispatch set
+            # (a flipped 'CIDFonôType2' kills the page — diff_fuzz r04);
+            # W is then read UNCONDITIONALLY (None dies in len())
+            validate_font_dict(sub)
             w = self.doc.resolve(sub.get("W"))
-            if w:
-                widthmap.update(cid_width_array_to_map(w))
+            widthmap.update(cid_width_array_to_map(w))
         st = {"widthmap": widthmap, "mapper": None}
         self._type0[key] = st
         return st
@@ -531,8 +560,7 @@ def font_widths(doc, font: dict) -> list:
         merged: dict[int, float] = {}
         for sub in doc.resolve(font.get("DescendantFonts")) or []:
             sub = doc.resolve(sub)
-            w = doc.resolve(sub.get("W"))
-            if w:
-                merged.update(cid_width_array_to_map(w))
+            validate_font_dict(sub)
+            merged.update(cid_width_array_to_map(doc.resolve(sub.get("W"))))
         return [merged[k] for k in sorted(merged)]
     raise FontError("unrecognized font subtype %r" % subtype)
