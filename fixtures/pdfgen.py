@@ -2304,6 +2304,39 @@ def f142_times_bold() -> bytes:
                       b"/BaseFont /Times-Bold >>")
 
 
+def f143_font_no_type() -> bytes:
+    """Font dict without /Type: _ParseFont reads o['Type'] first
+    (parser/__init__.py:678) -> KeyError -> page drop in both engines."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (NoType) Tj ET",
+                      b"<< /Subtype /Type1 /BaseFont /Helvetica >>")
+
+
+def f144_font_unknown_subtype() -> bytes:
+    """/Subtype /MMType1 is outside _ParseFont's six-entry dispatch ->
+    'Unrecognized object type' -> page drop in both engines."""
+    return simple_doc(b"BT /F1 12 Tf 72 720 Td (MM) Tj ET",
+                      b"<< /Type /Font /Subtype /MMType1 "
+                      b"/BaseFont /Helvetica >>")
+
+
+def f145_descendant_bad_subtype() -> bytes:
+    """Type0 whose descendant carries a corrupted /Subtype: each
+    descendant loads through _ParseFont when the width map builds ->
+    page drop (the diff_fuzz f105-flip2 case, pinned statically)."""
+    return _t0_doc([b"<< /Type /Font /Subtype /CIDFonXType2 "
+                    b"/BaseFont /Test /W [ 0 255 500 ] >>"])
+
+
+def f146_truncated_update_tail() -> bytes:
+    """Incremental update truncated mid-trailer: the reference's tail
+    parse tokenizes from the last intact startxref line to EOF with no
+    streamlength context, so the remnant's 'stream' keyword raises
+    NeedStreamLegnthError -> DOC dies.  It does NOT recover to the
+    previous consistent snapshot (we did until r04 — superset removed)."""
+    base = f10_incremental()
+    return base[: int(len(base) * 0.95)]
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -2447,6 +2480,10 @@ FIXTURES = {
     "f140_symbol_font": f140_symbol_font,
     "f141_zapf_font": f141_zapf_font,
     "f142_times_bold": f142_times_bold,
+    "f143_font_no_type": f143_font_no_type,
+    "f144_font_unknown_subtype": f144_font_unknown_subtype,
+    "f145_descendant_bad_subtype": f145_descendant_bad_subtype,
+    "f146_truncated_update_tail": f146_truncated_update_tail,
 }
 
 
