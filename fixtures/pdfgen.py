@@ -2337,6 +2337,28 @@ def f146_truncated_update_tail() -> bytes:
     return base[: int(len(base) * 0.95)]
 
 
+def f147_xref_row_nbsp() -> bytes:
+    """A stray NBSP (0xa0) glued to an xref row's end: the reference's
+    per-LINE str.rstrip() strips UNICODE whitespace, so the row parses
+    and the doc extracts.  Raw-bytes tokenization died here until the
+    r04 line-based rewrite."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (NbspRow) Tj ET", HELV)
+    xi = doc.index(b"xref\n")
+    # first row ends "65535 f \n" -> make it "65535 f\xa0\n"
+    k = doc.index(b" f \n", xi)
+    return doc[:k] + b" f\xa0\n" + doc[k + 4:]
+
+
+def f148_trailer_glued_eof() -> bytes:
+    """Garbage glued onto the startxref value line of an EARLIER
+    trailer ('406\x8a%%EOF'): the line is not '%%EOF', so the trailer
+    scan keeps collecting lines into the following update and the lexer
+    dies on the glue byte -> doc failure (no recovery)."""
+    base = f10_incremental()
+    k = base.index(b"\n%%EOF")  # EOL before the original EOF marker
+    return base[:k] + b"\x8a" + base[k + 1:]
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -2484,6 +2506,8 @@ FIXTURES = {
     "f144_font_unknown_subtype": f144_font_unknown_subtype,
     "f145_descendant_bad_subtype": f145_descendant_bad_subtype,
     "f146_truncated_update_tail": f146_truncated_update_tail,
+    "f147_xref_row_nbsp": f147_xref_row_nbsp,
+    "f148_trailer_glued_eof": f148_trailer_glued_eof,
 }
 
 

@@ -492,52 +492,104 @@ class Parser:
 # xref / trailer chain
 
 
+def _collect_lines(data: bytes, pos: int, stop, include_stop: bool,
+                   what: str):
+    """Line collection EXACTLY like the reference's readline loops
+    (parser/__init__.py:250-305): each line decoded latin-1 and
+    str.rstrip()ed (UNICODE whitespace — a stray NBSP at a row's end
+    vanishes, diff_fuzz r04/f17-flip34), collected until ``stop(line)``;
+    EOF first is a doc-level error.  Returns (joined_bytes,
+    stop_line_offset) — joined with \\r\\n like the reference."""
+    lines = []
+    scan = pos
+    n = len(data)
+    while True:
+        if scan >= n:
+            raise PdfError("reached EOF before %s was read" % what)
+        le = data.find(b"\n", scan)
+        if le == -1:
+            le = n
+        line = data[scan:le].decode("latin-1").rstrip()
+        if stop(line):
+            if include_stop:
+                lines.append(line)
+            break
+        lines.append(line)
+        scan = le + 1
+    return "\r\n".join(lines).encode("latin-1"), scan
+
+
+def _tokens_of(buf: bytes):
+    """Eager tokenization of a collected region, like the reference's
+    TokenizeString with NO streamlength context: lexer errors raise, and
+    a 'stream' keyword raises (pdf.py:151 NeedStreamLegnthError)."""
+    sc = Scanner(buf)
+    toks = []
+    while True:
+        t = sc.next_token()
+        if t[0] == "eof":
+            return toks
+        if t == ("kw", "stream"):
+            raise PdfError(
+                "stream token in xref/trailer region (reference "
+                "NeedStreamLegnthError)")
+        toks.append((t, sc.pos))
+
+
 def _parse_xref_table(data: bytes, pos: int):
     """Parse a plaintext xref section at ``pos``.  Returns
     (entries, trailer_dict, startxref_offset).
 
-    Reference parity (pinned by f63): ONLY THE FIRST subsection's rows
-    are consumed — the reference's consolidator takes one 'INT INT' header
-    plus its rows and silently ignores everything else before 'trailer'
-    (parser/pdf.py:240-281), so objects listed in later subsections are
-    unfindable and the document dies at first use.
+    Reference parity:
+    - line-based region collection with per-line unicode rstrip
+      (ParseXRef_plaintext/ParseTrailer readline loops) — the rows
+      region runs to the first line starting with 'trailer', the trailer
+      region to the first line that IS '%%EOF' (each trailer requires
+      its own %%EOF line; junk gluing onto it keeps the scan going and
+      the junk gets lexed — diff_fuzz r04/f10-flip34);
+    - both regions are EAGERLY tokenized (garbage anywhere in them dies,
+      'stream' keywords die with no streamlength context);
+    - ONLY THE FIRST subsection's rows are consumed (pinned f63): later
+      subsections tokenize but never load.
     """
-    sc = Scanner(data, pos)
-    t = sc.next_token()
-    if t != ("kw", "xref"):
+    rows_buf, trailer_off = _collect_lines(
+        data, pos, lambda ln: ln.startswith("trailer"), False, "xref")
+    rows_toks = [t for t, _ in _tokens_of(rows_buf)]
+    if not rows_toks or rows_toks[0] != ("kw", "xref"):
         raise PdfError("expected 'xref' at %d" % pos)
-    entries = []  # (objid, gen, offset, in_use)
-    t = sc.next_token()
-    if t[0] != "int":
-        raise PdfError("malformed xref subsection header: %r" % (t,))
-    t2 = sc.next_token()
-    if t2[0] != "int":
+    if len(rows_toks) < 3 or rows_toks[1][0] != "int" \
+            or rows_toks[2][0] != "int":
         raise PdfError("malformed xref subsection header")
-    first, count = t[1], t2[1]
+    first, count = rows_toks[1][1], rows_toks[2][1]
+    entries = []  # (objid, gen, offset, in_use)
+    k3 = 3
     for k in range(count):
-        o = sc.next_token()
-        g = sc.next_token()
-        f = sc.next_token()
+        try:
+            o, g, f = rows_toks[k3], rows_toks[k3 + 1], rows_toks[k3 + 2]
+        except IndexError:
+            raise PdfError("truncated xref rows") from None
         if o[0] != "int" or g[0] != "int" or f[0] != "kw" or f[1] not in "nf":
             raise PdfError("malformed xref row")
         entries.append((first + k, g[1], o[1], f[1] == "n"))
-    # skip-and-ignore anything else (later subsections) up to 'trailer'
-    while True:
-        t = sc.next_token()
-        if t == ("kw", "trailer"):
-            break
-        if t[0] == "eof":
-            raise PdfError("xref section without trailer")
-    p = Parser(data, sc.pos)
+        k3 += 3
+    # anything after the first subsection was tokenized above and is
+    # ignored (f63)
+
+    trailer_buf, _ = _collect_lines(
+        data, trailer_off, lambda ln: ln == "%%EOF", True, "trailer")
+    ttoks = _tokens_of(trailer_buf)
+    if not ttoks or ttoks[0][0] != ("kw", "trailer"):
+        raise PdfError("expected 'trailer'")
+    p = Parser(trailer_buf, ttoks[0][1])
     trailer = p.parse_value()
     if not isinstance(trailer, dict):
         raise PdfError("trailer is not a dictionary")
-    t = p.sc.next_token()
+    # remaining tokens after the dict: startxref INT %%EOF
+    rest = [t for t, endpos in ttoks if endpos > p.sc.pos]
     sxr = None
-    if t == ("kw", "startxref"):
-        t2 = p.sc.next_token()
-        if t2[0] == "int":
-            sxr = t2[1]
+    if len(rest) >= 2 and rest[0] == ("kw", "startxref") \
+            and rest[1][0] == "int":
+        sxr = rest[1][1]
     return entries, trailer, sxr
 
 

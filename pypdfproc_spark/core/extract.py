@@ -74,7 +74,11 @@ def extract_pdf(payload: bytes) -> ExtractResult:
             # must not leak this page's resources onto the stack
             content = doc.page_content(page)
             resources = doc.resolve(page.get("Resources"))
-            resources_stack.append(resources if isinstance(resources, dict) else {})
+            # push VERBATIM like the reference (__init__.py:329): a page
+            # without /Resources pushes None, which GetFont later dies on
+            # (recs.Font AttributeError) — and the un-popped None then
+            # poisons every later page's font lookups (diff_fuzz r04)
+            resources_stack.append(resources)
             interp.run_content(page, content)
             asm.on_page_end()
             resources_stack.pop()

@@ -246,7 +246,17 @@ class PageInterpreter:
 
     def lookup_font(self, fontname: str) -> dict:
         for recs in self.resources:
-            fonts = self.doc.resolve(recs.get("Font")) if recs else None
+            # reference parity (diff_fuzz r04): a page with NO /Resources
+            # pushes None onto the stack, and GetFont does `recs.Font` on
+            # it (AttributeError, __init__.py:141) — and because errored
+            # pages never pop their entry, the leaked None kills font
+            # lookups on every LATER page too.  Skipping None here was a
+            # silent superset.
+            if recs is None:
+                raise InterpError(
+                    "page resources are None (reference recs.Font "
+                    "AttributeError)")
+            fonts = self.doc.resolve(recs.get("Font"))
             if fonts is None:
                 continue
             if fontname not in fonts:
@@ -353,7 +363,9 @@ class PageInterpreter:
         if not isinstance(x, StreamObj):
             raise InterpError("XObject %r is not a stream" % xname)
         xres = self.doc.resolve(x.dict.get("Resources"))
-        self.resources.append(xres if isinstance(xres, dict) else {})
+        # verbatim push (reference __init__.py:454): a Resources-less
+        # XObject pushes None with the same poisoning semantics
+        self.resources.append(xres)
         ops = tokenize_content(x.data)
         self._dispatch(page, ops, s)
         self.resources.pop()

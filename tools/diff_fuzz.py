@@ -26,12 +26,19 @@ sys.path.insert(0, REPO)
 def mutations(data: bytes):
     """Deterministic, position-diverse mutations of one document."""
     n = len(data)
+    yield "trunc50", data[: n // 2]
     yield "trunc75", data[: int(n * 0.75)]
     yield "trunc95", data[: int(n * 0.95)]
+    yield "zero5", data[: n // 5] + b"\x00" + data[n // 5 + 1 :]
     yield "zero3", data[: n // 3] + b"\x00" + data[n // 3 + 1 :]
+    yield "zero23", data[: 2 * n // 3] + b"\x00" + data[2 * n // 3 + 1 :]
+    yield "flip4", data[: n // 4] + bytes([data[n // 4] ^ 0x80]) + data[n // 4 + 1 :]
     yield "flip2", data[: n // 2] + bytes([data[n // 2] ^ 0x80]) + data[n // 2 + 1 :]
+    yield "flip34", (data[: 3 * n // 4]
+                     + bytes([data[3 * n // 4] ^ 0x80]) + data[3 * n // 4 + 1 :])
     yield "del_mid", data[: n // 2] + data[n // 2 + 1 :]
     yield "dup_mid", data[: n // 2] + data[n // 2 : n // 2 + 1] + data[n // 2 :]
+    yield "ins_A", data[: n // 3] + b"A" + data[n // 3 :]
 
 
 def run_reference(path: str):
