@@ -39,6 +39,14 @@ def mutations(data: bytes):
     yield "del_mid", data[: n // 2] + data[n // 2 + 1 :]
     yield "dup_mid", data[: n // 2] + data[n // 2 : n // 2 + 1] + data[n // 2 :]
     yield "ins_A", data[: n // 3] + b"A" + data[n // 3 :]
+    yield "flip8", data[: n // 8] + bytes([data[n // 8] ^ 0x80]) + data[n // 8 + 1 :]
+    yield "flip78", (data[: 7 * n // 8]
+                     + bytes([data[7 * n // 8] ^ 0x80]) + data[7 * n // 8 + 1 :])
+    yield "zero6", data[: n // 6] + b"\x00" + data[n // 6 + 1 :]
+    yield "zero56", data[: 5 * n // 6] + b"\x00" + data[5 * n // 6 + 1 :]
+    yield "del_q", data[: n // 4] + data[n // 4 + 1 :]
+    yield "dup_3q", (data[: 3 * n // 4]
+                     + data[3 * n // 4 : 3 * n // 4 + 1] + data[3 * n // 4 :])
 
 
 def run_reference(path: str):
