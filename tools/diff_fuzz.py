@@ -23,9 +23,25 @@ sys.path.insert(0, "/root/reference")
 sys.path.insert(0, REPO)
 
 
-def mutations(data: bytes):
-    """Deterministic, position-diverse mutations of one document."""
+def mutations(data: bytes, name: str = ""):
+    """Deterministic, position-diverse mutations of one document.  The
+    hashpos family derives extra positions from md5(fixture name) so
+    every fixture also gets scattered, fixture-specific hits."""
+    import hashlib
+
     n = len(data)
+    for k in range(8):
+        h = hashlib.md5(("%s:%d" % (name, k)).encode()).digest()
+        pos = int.from_bytes(h[:4], "big") % n
+        kind = h[4] % 3
+        if kind == 0:
+            yield "hx%d_flip@%d" % (k, pos), (
+                data[:pos] + bytes([data[pos] ^ 0x80]) + data[pos + 1:])
+        elif kind == 1:
+            yield "hx%d_zero@%d" % (k, pos), (
+                data[:pos] + b"\x00" + data[pos + 1:])
+        else:
+            yield "hx%d_del@%d" % (k, pos), data[:pos] + data[pos + 1:]
     yield "trunc50", data[: n // 2]
     yield "trunc75", data[: int(n * 0.75)]
     yield "trunc95", data[: int(n * 0.95)]
@@ -49,17 +65,36 @@ def mutations(data: bytes):
                      + data[3 * n // 4 : 3 * n // 4 + 1] + data[3 * n // 4 :])
 
 
-def run_reference(path: str):
-    """(pages list, doc_failed) from the reference."""
+class _RefTimeout(Exception):
+    pass
+
+
+def run_reference(path: str, timeout_s: int = 10):
+    """(pages list, doc_failed, hung) from the reference.
+
+    The reference can loop FOREVER on some corrupt inputs (e.g. its
+    backward startxref line scan); we cannot and should not mirror a
+    hang — a mutant that hangs the reference is accepted as parity as
+    long as OUR engine extracts no text from it (typed error instead)."""
+    import signal
+
     import pypdfproc
 
+    def _alarm(_s, _f):
+        raise _RefTimeout()
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(timeout_s)
     try:
         doc = pypdfproc.PDF(path)
-        return doc.GetFullText(), False
+        return doc.GetFullText(), False, False
+    except _RefTimeout:
+        return [], True, True
     except Exception:
-        return [], True
-    except BaseException:  # RecursionError subclasses land here on 3.11? no
-        return [], True
+        return [], True, False
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def main() -> int:
@@ -79,16 +114,28 @@ def main() -> int:
     mismatches = 0
     for name in names:
         base = fixtures[name]
-        for mname, data in mutations(base):
+        for mname, data in mutations(base, name):
             total += 1
             p = os.path.join(tmp, "%s__%s.pdf" % (name, mname))
             with open(p, "wb") as fh:
                 fh.write(data)
-            ref_pages, ref_doc_failed = run_reference(p)
+            ref_pages, ref_doc_failed, ref_hung = run_reference(p)
             r = extract_document(data)
             ours_doc_failed = r.error is not None and not r.pages and \
                 r.n_pages == 0
-            ok = (r.pages == ref_pages)
+            if ref_hung:
+                # accepted delta: the reference loops forever; we fail
+                # fast with a typed error and must produce NO text
+                ok = not r.pages
+            elif r.parser != "pdf":
+                # the magic-byte router sent this mutant to the HTML path
+                # (a DESIGNED delta: the reference is a PDF-only library
+                # with no router, while the north rule requires an HTML
+                # fallback).  The parity claim for these is only that the
+                # reference cannot extract text from it either.
+                ok = ref_doc_failed
+            else:
+                ok = (r.pages == ref_pages)
             # doc-level classification: both yield pages==[], so the text
             # compare is the gate; classification shown for diagnosis only
             if not ok:
