@@ -167,6 +167,29 @@ def _q_extract_metrics(spark, sf_dir):
     )
 
 
+def _q_pipeline_dedup_survivors(spark, sf_dir):
+    """Composed corpus pipeline (r05): run the REAL extraction, then
+    exact-dedup the per-document text and apply the quality gate — the
+    chain a 100 TB training-data run executes over extraction output.
+    Oracle: identical funnel in DuckDB SQL over the frozen pure-Python
+    extraction twin."""
+    from pypdfproc_spark.spark import pipeline as P
+
+    pages = _pages_df(spark, sf_dir, limit=150)
+    res, _ = P.run_pipeline(pages, n_buckets=16, partitions=8)
+    return P.dedup_funnel_survivors(res)
+
+
+def _q_pipeline_dedup_funnel(spark, sf_dir):
+    """Stage counts for the composed pipeline: extracted_docs ->
+    docs_with_text -> unique_docs -> quality_pass."""
+    from pypdfproc_spark.spark import pipeline as P
+
+    pages = _pages_df(spark, sf_dir, limit=150)
+    res, _ = P.run_pipeline(pages, n_buckets=16, partitions=8)
+    return P.dedup_funnel_counts(res)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pypdfproc_spark.spark import multimodal, similarity, textops
 
@@ -216,6 +239,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics": _q_extract_metrics,
         "extract_spans": _q_extract_spans,
         "stream_batch_equivalence": _q_stream_batch_equivalence,
+        # composed pipeline over extraction OUTPUT (r05): extract ->
+        # exact dedup -> quality funnel, oracle = same funnel in DuckDB
+        # over the frozen extraction twin
+        "pipeline_dedup_funnel": _q_pipeline_dedup_funnel,
+        "pipeline_dedup_survivors": _q_pipeline_dedup_survivors,
     }
 
 
@@ -753,5 +781,50 @@ def oracle_sql() -> dict[str, str]:
     sql["stream_batch_equivalence"] = """
         SELECT url, page_no, text, parser
         FROM read_parquet('%s/extract_stream_sf001.parquet')
+    """ % _exp
+    # composed pipeline (r05): the SAME dedup+funnel semantics expressed
+    # in DuckDB over the frozen twin — string_agg ordered by page_no
+    # mirrors array_sort(collect_list(struct)); md5 over the VARCHAR's
+    # utf-8 bytes mirrors F.md5(text cast to binary); counts are BIGINT
+    # (never bare SUM -> HUGEINT).
+    _funnel_doc = """
+        WITH pages AS (
+            SELECT url, page_no, text
+            FROM read_parquet('%s/extract_pages_sf001.parquet')
+        ), doc AS (
+            SELECT url,
+                   string_agg(text, chr(10) ORDER BY page_no) AS doc_text,
+                   CAST(count(*) AS BIGINT) AS n_pages
+            FROM pages WHERE page_no IS NOT NULL GROUP BY url
+        ), with_text AS (
+            SELECT * FROM doc WHERE length(doc_text) > 0
+        ), uniq AS (
+            SELECT md5(doc_text) AS doc_md5,
+                   min(url) AS url,
+                   arg_min(n_pages, url) AS n_pages,
+                   CAST(arg_min(length(doc_text), url) AS BIGINT) AS doc_len,
+                   arg_min(doc_text, url) AS doc_text
+            FROM with_text GROUP BY md5(doc_text)
+        ), survivors AS (
+            SELECT url, n_pages, doc_len, doc_md5
+            FROM uniq
+            WHERE doc_len >= 40
+              AND length(doc_text) - length(replace(doc_text, ' ', '')) >= 4
+        )
+    """ % _exp
+    sql["pipeline_dedup_survivors"] = (
+        _funnel_doc + " SELECT url, n_pages, doc_len, doc_md5 FROM survivors"
+    )
+    sql["pipeline_dedup_funnel"] = _funnel_doc + """
+        SELECT 'extracted_docs' AS stage,
+               CAST(count(DISTINCT url) AS BIGINT) AS n
+        FROM read_parquet('%s/extract_pages_sf001.parquet')
+        UNION ALL
+        SELECT 'docs_with_text', CAST(count(*) AS BIGINT) FROM with_text
+        UNION ALL
+        SELECT 'unique_docs', CAST(count(DISTINCT doc_md5) AS BIGINT)
+        FROM uniq
+        UNION ALL
+        SELECT 'quality_pass', CAST(count(*) AS BIGINT) FROM survivors
     """ % _exp
     return sql

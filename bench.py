@@ -192,17 +192,24 @@ def default_mode() -> None:
         qt = run_queries(spark, SF_DIR)
     finally:
         spark.stop()
-    total = round(wall + wall_b + sum(qt.values()), 3)
+    # one-time BUILD artifacts (cold IVF train) are reported separately so
+    # e2e_bench_sec stays round-over-round comparable (VERDICT r04 item 7):
+    # the headline total covers extraction + recurring queries only
+    build_names = {"ann_ivf_build"}
+    build_steps = {k: v for k, v in qt.items() if k in build_names}
+    recurring = {k: v for k, v in qt.items() if k not in build_names}
+    total = round(wall + wall_b + sum(recurring.values()), 3)
     line = {
         "metric": "e2e_bench_sec",
         "value": total,
         "unit": "sec",
+        "build_steps": build_steps,
         "queries": dict(
             {
                 "extract_pipeline": round(wall, 3),
                 "extract_pipeline_bucketed": round(wall_b, 3),
             },
-            **qt,
+            **recurring,
         ),
         "sf": SF_DIR,
         # replication of the synthetic corpus: round-over-round numbers are

@@ -115,7 +115,7 @@ def expected_rows(sf_dir: str = SF_DIR, limit: int = LIMIT,
                   n_buckets: int = N_BUCKETS):
     """Pure-Python pipeline twin -> (pages_rows, metrics_rows)."""
     from fixtures.pagesgen import build_pages_rows, load_documents
-    from pypdfproc_spark.core.extract import extract_document
+    from pypdfproc_spark.core.extract import extract_document, utf8_safe
 
     rows = build_pages_rows(load_documents(sf_dir, limit))
     # latest_snapshot: newest warc_ts per url, xxhash64(html) desc tie-break
@@ -141,7 +141,7 @@ def expected_rows(sf_dir: str = SF_DIR, limit: int = LIMIT,
         r = extract_document(payload)
         b = bucket_of(url, n_buckets)
         for page_no, text in enumerate(r.pages):
-            page_rows.append((url, page_no, text, r.parser))
+            page_rows.append((url, page_no, utf8_safe(text), r.parser))
         if not r.pages:  # posexplode_outer: empty array -> one null row
             page_rows.append((url, None, None, r.parser))
         # flattened span rows (extract_spans oracle): page index by
@@ -176,7 +176,7 @@ def expected_rows(sf_dir: str = SF_DIR, limit: int = LIMIT,
     for url, _ts, payload, _text, _lang in rows:
         r = extract_document(payload)
         for page_no, text in enumerate(r.pages):
-            stream_rows.append((url, page_no, text, r.parser))
+            stream_rows.append((url, page_no, utf8_safe(text), r.parser))
         if not r.pages:
             stream_rows.append((url, None, None, r.parser))
     return page_rows, metrics_rows, span_rows, stream_rows

@@ -63,6 +63,30 @@ def freeze_html() -> dict[str, str]:
             for name, data in sorted(build_html().items())}
 
 
+EXT_GOLDENS_PATH = os.path.join(REPO, "fixtures", "goldens",
+                                "extended_goldens.json")
+
+
+def freeze_extended() -> dict[str, list[str]]:
+    """Extended-mode goldens are OUR OWN deterministic output (the
+    reference cannot decode any non-Flate filter — pinned f57/f58), frozen
+    so a regression in the EXTENDED_FILTERS opt-in path shows up as an
+    explicit golden diff (VERDICT r04 item 4)."""
+    sys.path.insert(0, REPO)
+    from fixtures.extgen import build_all as build_ext
+    from pypdfproc_spark.core import filters
+    from pypdfproc_spark.core.extract import extract_document
+
+    out = {}
+    filters.EXTENDED_FILTERS = True
+    try:
+        for name, data in sorted(build_ext().items()):
+            out[name] = extract_document(data).pages
+    finally:
+        filters.EXTENDED_FILTERS = False
+    return out
+
+
 def main() -> None:
     goldens = freeze()
     os.makedirs(os.path.dirname(GOLDENS_PATH), exist_ok=True)
@@ -76,6 +100,10 @@ def main() -> None:
     with open(HTML_GOLDENS_PATH, "w") as fh:
         json.dump(hg, fh, indent=1, ensure_ascii=True)
     sys.stdout.write("wrote %s (%d fixtures)\n" % (HTML_GOLDENS_PATH, len(hg)))
+    eg = freeze_extended()
+    with open(EXT_GOLDENS_PATH, "w") as fh:
+        json.dump(eg, fh, indent=1, ensure_ascii=True)
+    sys.stdout.write("wrote %s (%d fixtures)\n" % (EXT_GOLDENS_PATH, len(eg)))
 
 
 if __name__ == "__main__":

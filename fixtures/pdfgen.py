@@ -2359,6 +2359,271 @@ def f148_trailer_glued_eof() -> bytes:
     return base[:k] + b"\x8a" + base[k + 1:]
 
 
+# ---------------------------------------------------------------------------
+# Round 5: chain-walk startxref semantics + COMMENT-token positionality
+# (probed via tools/probe_r3.py chain_*/sniff_*/comment_*/tcmt_*/tail_*
+# probes; the reference lexer RETURNS comment tokens and its conversion
+# layer consumes tokens positionally, so comments shift or kill loads).
+
+
+def _r5_graph(content_text: bytes) -> dict:
+    """Standard 5-object graph bodies keyed by oid."""
+    return {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        3: _obj(3, HELV),
+        4: _obj(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                   b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        5: _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (" + content_text
+                       + b") Tj ET"),
+    }
+
+
+def f149_chain_sxr_fork() -> bytes:
+    """No-/Prev trailer whose own startxref points at an UNVISITED second
+    xref section that alone indexes the content object: the reference
+    follows t.startxref.offset (parser/__init__.py:149) and finds it ->
+    extracts.  Our chain set offset=0 here until r05 — silent subset."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    bodies = _r5_graph(b"ForkText")
+    for oid in sorted(bodies):
+        offsets[oid] = len(out)
+        out += bodies[oid]
+    xb = len(out)  # section B: only obj 5; startxref 0 terminates
+    out += b"xref\n5 1\n%010d 00000 n \n" % offsets[5]
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    xa = len(out)  # section A: objs 0-4; startxref -> XB (the fork)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for oid in range(1, 5):
+        out += b"%010d 00000 n \n" % offsets[oid]
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xb
+    out += b"startxref\n%d\n%%%%EOF\n" % xa  # file tail: entry -> XA
+    return bytes(out)
+
+
+def f150_chain_prev_no_sxr() -> bytes:
+    """Update trailer WITH /Prev but NO startxref before its %%EOF:
+    Convert_StartXRef(value[1:3]) -> toks[1] IndexError -> the doc dies
+    EVEN THOUGH /Prev is present (Convert_Trailer runs for every
+    plaintext trailer, parser/__init__.py:1281-1307).  We followed /Prev
+    here until r05 — silent superset."""
+    base = simple_doc(b"BT /F1 12 Tf 72 720 Td (Original text) Tj ET", HELV)
+    tail = base.rsplit(b"startxref\n", 1)[1]
+    orig_xref = int(tail.split(b"\n", 1)[0])
+    upd = bytearray(base)
+    newoff = len(upd)
+    upd += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Updated text) Tj ET")
+    xref_off = len(upd)
+    upd += b"xref\n5 1\n%010d 00000 n \n" % newoff
+    upd += b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n%%%%EOF\n" % orig_xref
+    upd += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(upd)
+
+
+def f151_chain_comment_before_sxr() -> bytes:
+    """Comment line between the trailer dict and startxref: COMMENT is a
+    real token, so positional value[2] yields the STRING 'startxref' as
+    the next offset -> `offset > 0` TypeError -> doc dies."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (CmtSxr) Tj ET", HELV)
+    return doc.replace(b">>\nstartxref\n", b">>\n% note\nstartxref\n")
+
+
+def f152_chain_bare_ints() -> bytes:
+    """Bare '999 0' between dict and startxref: positional value[2]=0 is
+    taken as the next offset -> chain terminates cleanly -> extracts
+    (the REAL startxref int is never read)."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (BareZero) Tj ET", HELV)
+    return doc.replace(b">>\nstartxref\n", b">>\n999 0\nstartxref\n")
+
+
+def f153_sniff_nbsp_xref() -> bytes:
+    """NBSP glued to the 'xref' header line: the sniff decodes latin-1
+    and str.strip()s (UNICODE, both ends, parser/__init__.py:221) ->
+    extracts.  Raw-bytes sniff lexing died on \\xa0 until r05."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (NbspXref) Tj ET", HELV)
+    i = doc.rindex(b"xref\n0 ")
+    return doc[:i] + b"xref\xa0\n" + doc[i + 5:]
+
+
+def f154_sniff_comment_objline() -> bytes:
+    """Comment glued to the xref-stream header line: sniff tokens are
+    [INT,INT,obj,COMMENT] -> len 4 -> NOT a stream -> plaintext scan for
+    a nonexistent 'trailer' line -> doc dies.  We folded the comment and
+    took the stream path until r05 — silent superset."""
+    doc = f05_xrefstream()
+    return doc.replace(b"7 0 obj\n", b"7 0 obj % c\n")
+
+
+def f155_comment_in_catalog() -> bytes:
+    """Comment inside the catalog dict: lands in a Convert_Dictionary
+    key/value slot -> ValueError 'Unknown token type' -> doc dies."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog % c\n/Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (CmtCat) Tj ET")
+    return f.build(1)
+
+
+def f156_comment_in_content_dict() -> bytes:
+    """Comment inside the content STREAM dict: dies in the
+    NeedStreamLength replay's Convert -> PAGE drop (not doc death)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    data = b"BT /F1 12 Tf 72 720 Td (CmtStream) Tj ET"
+    f.add_raw(5, b"5 0 obj\n<< %% c\n/Length %d >>\nstream\n" % len(data)
+                 + data + b"\nendstream\nendobj\n")
+    return f.build(1)
+
+
+def f157_comment_in_kids() -> bytes:
+    """Comment inside the /Kids array: Convert of the array elements hits
+    the COMMENT -> doc dies (page tree loads at doc level)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [% c\n4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (CmtKids) Tj ET")
+    return f.build(1)
+
+
+def f158_comment_in_xref_rows() -> bytes:
+    """Comment line between the subsection header and the first row:
+    Convert_XRef's 3-stride finds COMMENT where INT is required -> doc
+    dies.  We folded it until r05."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (CmtRows) Tj ET", HELV)
+    i = doc.rindex(b"xref\n0 ")
+    eol = doc.index(b"\n", i + 5)
+    return doc[:eol + 1] + b"% c\n" + doc[eol + 1:]
+
+
+def f159_comment_in_trailer_dict() -> bytes:
+    """Comment inside the trailer dictionary -> Convert dies -> doc dies."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (CmtTrailer) Tj ET", HELV)
+    return doc.replace(b"trailer\n<< /Size", b"trailer\n<< % c\n/Size")
+
+
+def f160_tcmt_tolerated() -> bytes:
+    """Trailing comments AFTER the value (before endobj) in catalog,
+    page, font, content stream AND an indirect /Length int — every one of
+    these handlers indexes value[2][0]/[1] positionally, so the trailing
+    COMMENT is ignored and the doc extracts (probed r05 tcmt_*)."""
+    data = b"BT /F1 12 Tf 72 720 Td (TcmtAll) Tj ET"
+    f = PdfFile()
+    f.add_raw(1, b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >> % c\nendobj\n")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add_raw(3, b"3 0 obj\n" + HELV + b" % c\nendobj\n")
+    f.add_raw(4, b"4 0 obj\n<< /Type /Page /Parent 2 0 R "
+                 b"/MediaBox [0 0 612 792] /Resources << /Font "
+                 b"<< /F1 3 0 R >> >> /Contents 5 0 R >> % c\nendobj\n")
+    f.add_raw(5, b"5 0 obj\n<< /Length 6 0 R >>\nstream\n"
+                 + data + b"\nendstream % c\nendobj\n")
+    f.add_raw(6, b"6 0 obj\n%d %% c\nendobj\n" % len(data))
+    return f.build(1)
+
+
+def f161_tcmt_resource_dict() -> bytes:
+    """Trailing comment in an INDIRECT resource sub-dict: the Resource
+    attr loader is GetDictionary, whose _ParseDictionary Converts the
+    WHOLE inner token list -> COMMENT dies -> PAGE drop (the one handler
+    that is intolerant of trailing comments)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font 7 0 R >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (TcmtRes) Tj ET")
+    f.add_raw(7, b"7 0 obj\n<< /F1 3 0 R >> % c\nendobj\n")
+    return f.build(1)
+
+
+def f162_objstm_cmt() -> bytes:
+    """Comment inside an object-stream inner object (the catalog): that
+    object's lazy Convert dies -> catalog load -> doc dies; siblings in
+    the same stream stay loadable (lazy per-object conversion)."""
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    offsets[5] = len(out)
+    out += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (ObjstmCmt) Tj ET")
+    inner = [
+        (1, b"<< /Type /Catalog % c\n/Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, HELV),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+    ]
+    bodies = b""
+    offs = []
+    for oid, body in inner:
+        offs.append((oid, len(bodies)))
+        bodies += body + b" "
+    index = b" ".join(b"%d %d" % (o, off) for o, off in offs) + b" "
+    objstm_data = index + bodies
+    offsets[6] = len(out)
+    out += _stream_obj(
+        6, b"/Type /ObjStm /N %d /First %d" % (len(inner), len(index)),
+        objstm_data)
+    xref_off = len(out)
+
+    def row(t, f2, f3):
+        return bytes([t, (f2 >> 8) & 0xFF, f2 & 0xFF, f3])
+
+    rows = [row(0, 0, 255)] + [row(2, 6, k) for k in range(4)]
+    rows += [row(1, offsets[5], 0), row(1, offsets[6], 0),
+             row(1, xref_off, 0)]
+    xdata = flate(png_up_encode(rows))
+    xdict = (b"/Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R "
+             b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>")
+    out += _stream_obj(7, xdict, xdata)
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
+def f163_tail_glued_comment() -> bytes:
+    """Appended tail whose startxref line has glued junk: the reverse
+    scan needs a line EXACTLY 'startxref' (after unicode rstrip), so it
+    walks back to the trailer's own startxref line -> still extracts via
+    the original section.  Our substring rfind took the glued one (and
+    died on offset 123) until r05."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (GluedTail) Tj ET", HELV)
+    return doc + b"startxref % c\n123\n%%EOF\n"
+
+
+def f164_tail_comment_between() -> bytes:
+    """Clean appended tail with a comment line between startxref and the
+    INT: toks[1] is COMMENT, not INT -> doc dies."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (TailCmt) Tj ET", HELV)
+    tail = doc.rsplit(b"startxref\n", 1)[1]
+    xa = int(tail.split(b"\n", 1)[0])
+    return doc + b"startxref\n%% c\n%d\n%%%%EOF\n" % xa
+
+
+def f165_cmt_before_header() -> bytes:
+    """xref offset points at a comment line preceding 'INT INT obj':
+    the OBJECT consolidation never forms at tokens[0] -> handler
+    IndexErrors -> PAGE drop."""
+    data = b"BT /F1 12 Tf 72 720 Td (CmtHdr) Tj ET"
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_raw(5, b"%% c\n5 0 obj\n<< /Length %d >>\nstream\n" % len(data)
+                 + data + b"\nendstream\nendobj\n")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -2508,6 +2773,23 @@ FIXTURES = {
     "f146_truncated_update_tail": f146_truncated_update_tail,
     "f147_xref_row_nbsp": f147_xref_row_nbsp,
     "f148_trailer_glued_eof": f148_trailer_glued_eof,
+    "f149_chain_sxr_fork": f149_chain_sxr_fork,
+    "f150_chain_prev_no_sxr": f150_chain_prev_no_sxr,
+    "f151_chain_comment_before_sxr": f151_chain_comment_before_sxr,
+    "f152_chain_bare_ints": f152_chain_bare_ints,
+    "f153_sniff_nbsp_xref": f153_sniff_nbsp_xref,
+    "f154_sniff_comment_objline": f154_sniff_comment_objline,
+    "f155_comment_in_catalog": f155_comment_in_catalog,
+    "f156_comment_in_content_dict": f156_comment_in_content_dict,
+    "f157_comment_in_kids": f157_comment_in_kids,
+    "f158_comment_in_xref_rows": f158_comment_in_xref_rows,
+    "f159_comment_in_trailer_dict": f159_comment_in_trailer_dict,
+    "f160_tcmt_tolerated": f160_tcmt_tolerated,
+    "f161_tcmt_resource_dict": f161_tcmt_resource_dict,
+    "f162_objstm_cmt": f162_objstm_cmt,
+    "f163_tail_glued_comment": f163_tail_glued_comment,
+    "f164_tail_comment_between": f164_tail_comment_between,
+    "f165_cmt_before_header": f165_cmt_before_header,
 }
 
 

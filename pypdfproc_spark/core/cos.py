@@ -134,6 +134,38 @@ _TOKEN_RE = _re.compile(
     """,
     _re.VERBOSE,
 )
+
+# Comment-EMITTING variant of the COS master regex (round 5): the
+# reference lexer RETURNS comment tokens (t_COMMENT, parser/pdf.py:69-73)
+# and neither ConsolidateTokens nor Convert filters them, so in every
+# positionally-consumed region (xref rows, trailer startxref, object
+# values, the startxref tail, the xref sniff line) a comment SHIFTS
+# positions or dies in Convert ('Unknown token type') — probed r05
+# (comment_in_* / tcmt_* / tail_* probes in tools/probe_r3.py).  The
+# default _TOKEN_RE folds comments into whitespace, which is only valid
+# for content/cmap modes (whose lexers have no comment rule / discard);
+# COS-mode consumers needing reference parity use this one.
+_TOKEN_RE_PDF_CMT = _re.compile(
+    rb"""
+    [\t\n\r ]*
+    (?:
+      (?P<eofm>%%EOF)
+    | (?P<cmt>%(?!%EOF)[^\r\n]+)
+    | (?P<flt>[+-]?[0-9]*\.[0-9]*)
+    | (?P<num>[+-]?[0-9]+)
+    | (?P<name>/[^\t\n\r ()<>\[\]/]+)
+    | (?P<dicto><<)
+    | (?P<hex><[0-9A-Fa-f]+>)
+    | (?P<dictc>>>)
+    | (?P<arro>\[)
+    | (?P<arrc>\])
+    | (?P<lito>\()
+    | (?P<kw>endstream|startxref|trailer|endobj|stream|false|true|null
+        |xref|obj|R|n|f)
+    )?
+    """,
+    _re.VERBOSE,
+)
 _NONHEX_WS = bytes(WHITESPACE)
 _HEXDIGITS = frozenset(b"0123456789abcdefABCDEF")
 
@@ -210,14 +242,18 @@ class Scanner:
     __slots__ = ("data", "pos", "_re")
 
     def __init__(self, data: bytes, pos: int = 0, content: bool = False,
-                 cmap: bool = False):
+                 cmap: bool = False, pdf_comments: bool = False):
         self.data = data
         self.pos = pos
         # content=True swaps in the reference text-lexer's character
         # classes (_TOKEN_RE_CONTENT); cmap=True the cmap lexer's
-        # (_TOKEN_RE_CMAP); COS parsing keeps the COS lexer's classes
+        # (_TOKEN_RE_CMAP); COS parsing keeps the COS lexer's classes.
+        # pdf_comments=True emits ('cmt', text) tokens like the reference
+        # PLY lexer does (t_COMMENT returns its token) — required wherever
+        # token POSITIONS carry meaning (see _TOKEN_RE_PDF_CMT note).
         self._re = (_TOKEN_RE_CONTENT if content
-                    else _TOKEN_RE_CMAP if cmap else _TOKEN_RE)
+                    else _TOKEN_RE_CMAP if cmap
+                    else _TOKEN_RE_PDF_CMT if pdf_comments else _TOKEN_RE)
 
     def peek_token(self):
         save = self.pos
@@ -260,6 +296,9 @@ class Scanner:
                 # t_COMMENT); in a value position the parser rejects it
                 # exactly like the reference's consolidation does
                 return ("kw", "%%EOF")
+            if kind == "cmt":
+                # reference t_COMMENT: value is the text minus the '%'
+                return ("cmt", m.group("cmt")[1:].decode("latin-1"))
             if kind == "dicto":
                 return ("dict<", None)
             if kind == "dictc":
@@ -383,9 +422,16 @@ class Parser:
     ConsolidateTokens passes + TokenHelpers.Convert,
     parser/pdf.py:217-490 + parser/__init__.py:1225-1309)."""
 
-    def __init__(self, data: bytes, pos: int = 0, doc: "PdfDocument|None" = None):
-        self.sc = Scanner(data, pos)
+    def __init__(self, data: bytes, pos: int = 0, doc: "PdfDocument|None" = None,
+                 pdf_comments: bool = False):
+        self.sc = Scanner(data, pos, pdf_comments=pdf_comments)
         self.doc = doc
+        # set when the post-value lex-to-endobj tail contained a COMMENT
+        # token: harmless for most reference handlers (they index
+        # value[2][0] / [1]), but _ParseDictionary Converts the WHOLE
+        # inner token list, so indirect RESOURCE sub-dict loads die
+        # (probed r05 tcmt_resource_dict vs tcmt_catalog/page/font)
+        self.tail_comment = False
 
     def parse_value(self, tok=None):
         if tok is None:
@@ -482,8 +528,12 @@ class Parser:
         # after the value — but any byte that fails to lex before that
         # endobj kills the object load (a corrupted 'endobj' itself is
         # such a byte).  Lexing to end-of-data without finding endobj is
-        # tolerated (f68).
+        # tolerated (f68).  COMMENT tokens here are tolerated by the
+        # positional handlers (tcmt_* probes r05) but recorded for the
+        # _ParseDictionary-intolerant resource path (see __init__).
         while t != ("kw", "endobj") and t[0] != "eof":
+            if t[0] == "cmt":
+                self.tail_comment = True
             t = self.sc.next_token()
         return objid, gen, val
 
@@ -519,11 +569,13 @@ def _collect_lines(data: bytes, pos: int, stop, include_stop: bool,
     return "\r\n".join(lines).encode("latin-1"), scan
 
 
-def _tokens_of(buf: bytes):
+def _tokens_of(buf: bytes, comments: bool = False):
     """Eager tokenization of a collected region, like the reference's
     TokenizeString with NO streamlength context: lexer errors raise, and
-    a 'stream' keyword raises (pdf.py:151 NeedStreamLegnthError)."""
-    sc = Scanner(buf)
+    a 'stream' keyword raises (pdf.py:151 NeedStreamLegnthError).
+    comments=True emits ('cmt', …) tokens like the reference lexer —
+    required when the caller consumes tokens POSITIONALLY."""
+    sc = Scanner(buf, pdf_comments=comments)
     toks = []
     while True:
         t = sc.next_token()
@@ -538,7 +590,7 @@ def _tokens_of(buf: bytes):
 
 def _parse_xref_table(data: bytes, pos: int):
     """Parse a plaintext xref section at ``pos``.  Returns
-    (entries, trailer_dict, startxref_offset).
+    (entries, trailer_dict, startxref_token, trailer_offset).
 
     Reference parity:
     - line-based region collection with per-line unicode rstrip
@@ -554,7 +606,10 @@ def _parse_xref_table(data: bytes, pos: int):
     """
     rows_buf, trailer_off = _collect_lines(
         data, pos, lambda ln: ln.startswith("trailer"), False, "xref")
-    rows_toks = [t for t, _ in _tokens_of(rows_buf)]
+    # comments are TOKENS (r05): one in the subsection header or within
+    # the first subsection's 3-stride rows breaks the positional checks
+    # below exactly like Convert_XRef's 'Expected INT … found COMMENT'
+    rows_toks = [t for t, _ in _tokens_of(rows_buf, comments=True)]
     if not rows_toks or rows_toks[0] != ("kw", "xref"):
         raise PdfError("expected 'xref' at %d" % pos)
     if len(rows_toks) < 3 or rows_toks[1][0] != "int" \
@@ -577,20 +632,52 @@ def _parse_xref_table(data: bytes, pos: int):
 
     trailer_buf, _ = _collect_lines(
         data, trailer_off, lambda ln: ln == "%%EOF", True, "trailer")
-    ttoks = _tokens_of(trailer_buf)
+    ttoks = _tokens_of(trailer_buf, comments=True)
     if not ttoks or ttoks[0][0] != ("kw", "trailer"):
         raise PdfError("expected 'trailer'")
-    p = Parser(trailer_buf, ttoks[0][1])
+    p = Parser(trailer_buf, ttoks[0][1], pdf_comments=True)
     trailer = p.parse_value()
     if not isinstance(trailer, dict):
         raise PdfError("trailer is not a dictionary")
-    # remaining tokens after the dict: startxref INT %%EOF
+    # Reference Convert_Trailer mirror (parser/__init__.py:1281-1309,
+    # probed r05): the trailer token's value runs from after 'trailer' to
+    # the FIRST %%EOF token INCLUSIVE, and startxref is read PURELY
+    # POSITIONALLY as value[2] = the 2nd token after the dict —
+    #   · 'startxref INT'       -> INT (the normal case)
+    #   · fewer than 2 tokens   -> IndexError -> doc dies
+    #     (so a trailer with no startxref dies EVEN IF /Prev exists,
+    #      probed chain_prev_no_sxr)
+    #   · comment shifts it     -> value[2] is 'startxref' (a str) ->
+    #     seek/compare TypeError -> doc dies (chain_comment_before_sxr)
+    #   · bare ints 'A B'       -> B is followed as the next offset
+    #     (chain_bare_ints_zero/junk)
     rest = [t for t, endpos in ttoks if endpos > p.sc.pos]
-    sxr = None
-    if len(rest) >= 2 and rest[0] == ("kw", "startxref") \
-            and rest[1][0] == "int":
-        sxr = rest[1][1]
-    return entries, trailer, sxr
+    for k, t in enumerate(rest):
+        if t == ("kw", "%%EOF"):
+            rest = rest[: k + 1]
+            break
+    if len(rest) < 2:
+        raise PdfError(
+            "trailer has no startxref tokens (reference Convert_StartXRef "
+            "IndexError)")
+    sxr_tok = rest[1]
+    return entries, trailer, sxr_tok, trailer_off
+
+
+def _usable_offset(v, what: str) -> int:
+    """Validate a next-xref offset exactly as the reference's use of it
+    does: a non-int (str/float/Ref/token tuple …) dies at `offset > 0`
+    or file.seek (TypeError), a negative int dies at seek (OSError) —
+    all doc-level (probed r05 chain_comment_before_sxr /
+    chain_negative_sxr).  bool passes: file.seek(True) == seek(1)."""
+    if not isinstance(v, int):
+        raise PdfError(
+            "%s is not a usable xref offset: %r (reference seek/compare "
+            "TypeError)" % (what, v))
+    if v < 0:
+        raise PdfError("%s is negative: %d (reference seek OSError)"
+                       % (what, v))
+    return v
 
 
 def _xref_stream_rows(stm: StreamObj):
@@ -650,7 +737,8 @@ class PdfDocument:
         self.objmap: dict[tuple[int, int], object] = {}
         self.cache: dict[tuple[int, int], object] = {}
         self.trailer: dict = {}
-        self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._objstm_cache: dict[int, tuple] = {}
+        self._tail_cmt: set[tuple[int, int]] = set()
         self._walk_xref_chain()
 
     def _parse_header(self) -> str:
@@ -661,25 +749,50 @@ class PdfDocument:
         return line.split()[0].decode("latin-1", "replace")
 
     def _find_startxref(self) -> int:
-        tail = self.data[-2048:]
-        k = tail.rfind(b"startxref")
-        if k < 0:
-            k = self.data.rfind(b"startxref")
-            if k < 0:
-                raise PdfError("startxref not found")
-            sc = Scanner(self.data, k)
-        else:
-            sc = Scanner(tail, k)
+        # Reference parity (parser/__init__.py:85-97, probed r05
+        # tail_glued_comment): lines are read BACKWARD from EOF until one
+        # that latin-1-decodes and unicode-rstrips to EXACTLY
+        # 'startxref' — a glued 'startxref 123' line is skipped and an
+        # EARLIER exact line wins; none by BOF is a doc-level failure.
+        data = self.data
+        scan_end = len(data)
+        while True:
+            nl = data.rfind(b"\n", 0, scan_end)
+            line = data[nl + 1 : scan_end]
+            if line.decode("latin-1").rstrip() == "startxref":
+                pos = nl + 1
+                break
+            if nl < 0:
+                raise PdfError("startxref not found (reverse scan hit BOF)")
+            scan_end = nl
+        # The reference lexes the collected lines AFTER decoding latin-1
+        # and unicode-RSTRIPPING each (readlinerev loop, joined \r\n): a
+        # trailing NBSP/NEL on any tail line vanishes before the lexer
+        # ever sees it (diff_fuzz r05 nbsp mutants on f133/f142) — so
+        # build the same rstripped region instead of lexing raw bytes.
+        region_lines = []
+        k = pos
+        nd = len(data)
+        while k < nd:
+            le = data.find(b"\n", k)
+            if le == -1:
+                le = nd
+            region_lines.append(data[k:le].decode("latin-1").rstrip())
+            k = le + 1
+        region = "\r\n".join(region_lines).encode("latin-1")
+        # tokens are checked POSITIONALLY like Initialize's toks[0..2]
+        # (xref_start, INT, EOF) — comments are real tokens here, so a
+        # comment line between startxref and the offset dies (probed r05
+        # tail_comment_between)
+        sc = Scanner(region, 0, pdf_comments=True)
         t = sc.next_token()  # 'startxref'
         t = sc.next_token()
         if t[0] != "int":
-            raise PdfError("startxref offset missing")
-        # reference parity (parser/__init__.py:104-106, pinned by f62):
-        # the file tail must read exactly startxref / INT / %%EOF — a
-        # missing or displaced %%EOF marker is a DOC-level failure, not a
-        # recoverable quirk
-        rest = sc.data[sc.pos:]
-        if not rest.lstrip(WHITESPACE).startswith(b"%%EOF"):
+            raise PdfError("startxref offset missing (got %r)" % (t,))
+        t3 = sc.next_token()
+        if t3 != ("kw", "%%EOF"):
+            # reference parity (pinned by f62): the third token must be
+            # the %%EOF marker — displaced/missing is a DOC-level failure
             raise PdfError("%%EOF marker missing after startxref")
         # Reference parity (diff_fuzz r04): the tail parse tokenizes
         # EVERYTHING from the found startxref line to EOF with no
@@ -726,14 +839,21 @@ class PdfDocument:
             # object dies instead of being whitespace-folded.
             eol = self.data.find(b"\n", offset)
             line = self.data[offset: eol if eol != -1 else len(self.data)]
-            line = line.rstrip()
-            lsc = Scanner(line)
+            # the reference decodes latin-1 and str.strip()s — UNICODE
+            # whitespace, BOTH ends (parser/__init__.py:221): a trailing
+            # NBSP/NEL on the sniffed line vanishes (probed r05
+            # sniff_nbsp_xref / sniff_nel_xref)
+            line = line.decode("latin-1").strip().encode("latin-1")
+            lsc = Scanner(line, pdf_comments=True)
             ltoks = []
             while True:
                 lt = lsc.next_token()  # garbage on the line raises, like
                 if lt[0] == "eof":     # the reference's TokenizeString
                     break
                 ltoks.append(lt)
+            # a COMMENT on the line is a 4th token -> NOT a stream
+            # (probed r05 sniff_comment_objline: plaintext path, which
+            # then dies hunting a 'trailer' line)
             is_stream = (
                 len(ltoks) == 3
                 and ltoks[0][0] == "int"
@@ -754,7 +874,12 @@ class PdfDocument:
                     scan = le + 1
             t = ("kw", "xref") if not is_stream else None
             if t == ("kw", "xref"):
-                entries, trailer, sxr = _parse_xref_table(self.data, offset)
+                entries, trailer, sxr_tok, trailer_off = _parse_xref_table(
+                    self.data, offset)
+                # reference AddContentToMap also records the TRAILER's
+                # offset, and the bottom-of-loop break tests membership
+                # against BOTH (parser/__init__.py:130-176)
+                seen.add(trailer_off)
                 for objid, gen, off, in_use in entries:
                     key = (objid, gen)
                     if in_use and key not in self.objmap:
@@ -767,13 +892,25 @@ class PdfDocument:
                 # read (parser/__init__.py:95-160 walks only /Prev), so
                 # objects indexed solely by the hybrid stream stay
                 # unfindable and the doc dies.  Was a silent superset here.
-                prev = trailer.get("Prev")
-                if isinstance(prev, int):
-                    offset = prev
+                #
+                # Reference parity (probed r05, chain_sxr_fork): when
+                # /Prev is ABSENT the reference follows the trailer's own
+                # startxref value (parser/__init__.py:149 `offset =
+                # t.startxref.offset`), stopping only when that offset was
+                # already visited or is 0 — a no-/Prev trailer whose
+                # startxref points at an unvisited section loads MORE
+                # objects.  Setting offset=0 here was a silent subset.
+                if "Prev" in trailer:
+                    offset = _usable_offset(trailer["Prev"], "Prev")
                 else:
-                    offset = 0
+                    sk, sv = sxr_tok
+                    offset = _usable_offset(
+                        sv if sk == "int" else sxr_tok, "trailer startxref")
             else:
-                p = Parser(self.data, offset, doc=self)
+                # comment-emitting like every reference _LoadObject path:
+                # a comment inside the xref stream's dict dies in the
+                # NeedStreamLength replay Convert (diff_fuzz r05)
+                p = Parser(self.data, offset, doc=self, pdf_comments=True)
                 _, _, stm = p.parse_indirect_object()
                 if not isinstance(stm, StreamObj):
                     raise PdfError("xref offset does not point at xref data")
@@ -793,8 +930,12 @@ class PdfDocument:
                 if not newest_trailer_set:
                     self.trailer = dict(stm.dict)
                     newest_trailer_set = True
-                prev = stm.dict.get("Prev")
-                offset = prev if isinstance(prev, int) else 0
+                # xref-stream branch: no startxref fallback — absent /Prev
+                # means done (parser/__init__.py:127-131)
+                if "Prev" in stm.dict:
+                    offset = _usable_offset(stm.dict["Prev"], "Prev")
+                else:
+                    offset = 0
         if not self.trailer:
             raise PdfError("no trailer found")
         # Reference parity (probed r04, f135-f136): /Encrypt is IGNORED —
@@ -820,31 +961,79 @@ class PdfDocument:
         if loc is None:
             raise PdfError("object %d %d not in xref" % key)
         if isinstance(loc, int):
-            p = Parser(self.data, loc, doc=self)
+            p = Parser(self.data, loc, doc=self, pdf_comments=True)
             # reference parity (diff_fuzz r04): _LoadObject parses
             # whatever sits at the xref offset and NEVER validates the
             # 'N G obj' header ids against the row that led here — a
             # corrupted header id still loads (f17 dup_mid)
             _objid, _gen, val = p.parse_indirect_object()
+            if p.tail_comment:
+                self._tail_cmt.add(key)
         else:
             _, stm_oid, idx = loc
             val = self._load_from_objstm(stm_oid, idx)
         self.cache[key] = val
         return val
 
+    def resolve_resource_dict(self, v):
+        """Resolve a Resource ATTRIBUTE value (/Font /XObject /ExtGState
+        …) like the reference's Resource loader (parser/__init__.py:
+        817-821): an indirect value goes through GetDictionary, whose
+        _ParseDictionary Converts the WHOLE inner token list — so a
+        trailing COMMENT in that object (harmless everywhere else) kills
+        the load here (probed r05 tcmt_resource_dict)."""
+        if isinstance(v, Ref):
+            out = self.resolve(v)
+            if (v.objid, v.gen) in self._tail_cmt:
+                raise PdfError(
+                    "comment token in resource dictionary object %d %d "
+                    "(reference _ParseDictionary Convert death)"
+                    % (v.objid, v.gen))
+            return out
+        return self.resolve(v)
+
     def _load_from_objstm(self, stm_oid: int, idx: int):
         """Load object #idx from object stream (reference:
         parser/__init__.py:1065-1127, but parsed positionally instead of by
-        token-lexpos slicing)."""
-        objs = self._objstm_cache.get(stm_oid)
-        if objs is None:
+        token-lexpos slicing).
+
+        Reference parity (r05): Process() eagerly TOKENIZES the whole
+        stream (a lexer error or 'stream' keyword anywhere kills every
+        access) and eagerly slices+consolidates, but CONVERT runs only
+        when a given object is loaded — so a COMMENT (or other
+        Convert-fatal token) inside one inner object kills only loads of
+        THAT object (probed r05 objstm_cmt), not its siblings.  Hence:
+        eager full-body lex, lazy per-index value parse."""
+        entry = self._objstm_cache.get(stm_oid)
+        if entry is None:
             stm = self.get(Ref(stm_oid, 0))
             if not isinstance(stm, StreamObj):
                 raise PdfError("object stream %d is not a stream" % stm_oid)
             n = stm.dict["N"]
             first = stm.dict["First"]
             body = stm.data
-            hdr = Scanner(body)
+            # eager full-body lex = reference Process TokenizeString
+            # (no streamlength context: 'stream' raises), recording each
+            # token's true start position (PLY lexpos) for the window
+            # slicing below
+            esc = Scanner(body, pdf_comments=True)
+            toks = []  # (tok, lexpos)
+            blen = len(body)
+            ws = b"\t\n\r "
+            while True:
+                p0 = esc.pos
+                while p0 < blen and body[p0] in ws:
+                    p0 += 1
+                esc.pos = p0
+                et = esc.next_token()
+                if et[0] == "eof":
+                    break
+                if et == ("kw", "stream"):
+                    raise PdfError(
+                        "stream token inside object stream (reference "
+                        "NeedStreamLegnthError)")
+                toks.append((et, p0))
+            hdr = Scanner(body, pdf_comments=True)
             pairs = []
             for _ in range(n):
                 o = hdr.next_token()
@@ -852,14 +1041,41 @@ class PdfDocument:
                 if o[0] != "int" or off[0] != "int":
                     raise PdfError("malformed object stream index")
                 pairs.append((o[1], off[1]))
-            objs = {}
-            for i, (oid, off) in enumerate(pairs):
-                p = Parser(body, first + off, doc=self)
-                objs[i] = p.parse_value()
-            self._objstm_cache[stm_oid] = objs
-        if idx not in objs:
+            # Reference window semantics (parser/__init__.py:1094-1116,
+            # pinned f96): each index entry's tokens are sliced by lexpos
+            # in [First+off_k, First+off_{k+1} - 1] IN LIST ORDER (final
+            # window ends at len(stream)-1), and consolidation runs
+            # EAGERLY per window — a DICT_START whose DICT_END falls
+            # outside the window raises 'Did not find end of dictionary'
+            # and kills every access to this object stream.  (Arrays are
+            # silently truncated by the reference's Array consolidation —
+            # no eager death — which our byte-ranged lazy parse below
+            # approximates by hitting end-of-window bytes instead.)
+            bounds = [first + off for _, off in pairs] + [blen]
+            for k in range(len(pairs)):
+                s, e = bounds[k], bounds[k + 1] - 1
+                depth = 0
+                for et, lp in toks:
+                    if lp < s or lp > e:
+                        continue
+                    if et[0] == "dict<":
+                        depth += 1
+                    elif et[0] == "dict>" and depth > 0:
+                        depth -= 1
+                if depth > 0:
+                    raise PdfError(
+                        "object stream window %d cuts a dictionary "
+                        "(reference 'Did not find end of dictionary')" % k)
+            entry = (body, first, pairs, {})
+            self._objstm_cache[stm_oid] = entry
+        body, first, pairs, parsed = entry
+        if idx < 0 or idx >= len(pairs):
             raise PdfError("object stream %d has no index %d" % (stm_oid, idx))
-        return objs[idx]
+        if idx not in parsed:
+            p = Parser(body, first + pairs[idx][1], doc=self,
+                       pdf_comments=True)
+            parsed[idx] = p.parse_value()
+        return parsed[idx]
 
     def resolve(self, v):
         """Chase indirect references (single level)."""

@@ -36,6 +36,28 @@ class ExtractResult:
     error: str | None = None
 
 
+import re as _re
+
+_SURROGATES = _re.compile("[\ud800-\udfff]")
+
+
+def utf8_safe(s: str) -> str:
+    """Columnar-boundary sanitizer: Arrow transfer and parquet storage
+    require VALID UTF-8, but a ToUnicode CMap can emit lone surrogates
+    (the reference passes chr(0xD835) through verbatim — pinned f131)
+    which utf-8 cannot encode.  Deterministic rule: each lone surrogate
+    code unit becomes U+FFFD.  The in-process core API stays byte-exact;
+    this is applied ONLY at columnar boundaries — and the SAME helper is
+    used by the Spark pipeline, the pure-Python expectations twin
+    (fixtures/freeze_expectations.py) and the golden-parity test, so the
+    three can never drift (ADVICE r05)."""
+    try:
+        s.encode("utf-8")
+        return s
+    except UnicodeEncodeError:
+        return _SURROGATES.sub("�", s)
+
+
 def is_pdf(payload: bytes) -> bool:
     return payload.startswith(b"%PDF-")
 

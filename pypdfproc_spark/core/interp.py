@@ -256,7 +256,9 @@ class PageInterpreter:
                 raise InterpError(
                     "page resources are None (reference recs.Font "
                     "AttributeError)")
-            fonts = self.doc.resolve(recs.get("Font"))
+            # indirect /Font resource dicts go through the reference's
+            # GetDictionary (intolerant of trailing comments — r05)
+            fonts = self.doc.resolve_resource_dict(recs.get("Font"))
             if fonts is None:
                 continue
             if fontname not in fonts:
@@ -273,7 +275,7 @@ class PageInterpreter:
 
     def _ext_gstate(self, page: dict, name: str) -> dict:
         recs = self.doc.resolve(page.get("Resources")) or {}
-        egs = self.doc.resolve(recs.get("ExtGState")) or {}
+        egs = self.doc.resolve_resource_dict(recs.get("ExtGState")) or {}
         if name not in egs:
             raise InterpError("unrecognized ExtGState %r" % name)
         return self.doc.resolve(egs[name])
@@ -356,7 +358,7 @@ class PageInterpreter:
         PAGE's resources (not the stack), push the XObject's resources,
         recurse into its content."""
         recs = self.doc.resolve(page.get("Resources")) or {}
-        xobjs = self.doc.resolve(recs.get("XObject")) or {}
+        xobjs = self.doc.resolve_resource_dict(recs.get("XObject")) or {}
         if xname not in xobjs:
             raise InterpError("unknown XObject %r" % xname)
         x = self.doc.resolve(xobjs[xname])

@@ -119,24 +119,10 @@ def _make_extract_batch(pkg_root: str, columns: list,
 
         _filters.EXTENDED_FILTERS = extended_filters
 
-        import re as _re
-
-        _surr = _re.compile("[\ud800-\udfff]")
-
-        def _utf8_safe(s):
-            # Arrow transfer and parquet storage require VALID UTF-8, but
-            # a ToUnicode CMap can emit lone surrogates (the reference
-            # passes chr(0xD835) through verbatim — pinned f131) which
-            # utf-8 cannot encode: unsanitized they kill the whole Arrow
-            # batch (a single hostile document failing the task at scale).
-            # Deterministic boundary rule: each lone surrogate code unit
-            # becomes U+FFFD.  The in-process core API stays byte-exact;
-            # only the columnar boundary is sanitized.
-            try:
-                s.encode("utf-8")
-                return s
-            except UnicodeEncodeError:
-                return _surr.sub("�", s)
+        # lone-surrogate -> U+FFFD boundary rule: the SHARED helper
+        # (core/extract.py utf8_safe) also used by the expectations twin
+        # and the golden-parity test — one definition, no drift
+        from pypdfproc_spark.core.extract import utf8_safe as _utf8_safe
 
         rows = []
         for payload in html:
@@ -504,3 +490,99 @@ def run_resumable(
     finally:
         spark.conf.set(mode_key, prev_mode)
         ex.unpersist()
+
+
+# -----------------------------------------------------------------------------
+# Composed LLM-corpus pipeline over extraction OUTPUT (r05): a real 100 TB
+# run chains extract -> exact-dedup -> quality funnel over the EXTRACTED
+# text, not over a pre-made documents table.  These operate on the
+# results() row shape (url, page_no, text, parser, ...) and are
+# oracle-gated against the frozen pure-Python extraction twin
+# (fixtures/expectations) with the same funnel expressed in DuckDB SQL.
+
+QUALITY_MIN_LEN = 40
+QUALITY_MIN_SPACES = 4
+
+
+def doc_texts(res: DataFrame) -> DataFrame:
+    """Per-document text from extraction rows: pages '\\n'-joined in
+    page order.  (url, doc_text, n_pages).  Documents whose every page
+    dropped (the posexplode_outer null row) have no non-null pages and
+    produce no row here.
+
+    Scale shape: one hash-agg on url (the pipeline's existing
+    partitioning key — zero extra Exchange on the bucketed path);
+    array_sort(collect_list(struct)) keeps the join-order deterministic
+    without a window."""
+    return (
+        res.where(F.col("page_no").isNotNull())
+        .groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("page_no", "text"))),
+                    lambda x: x["text"],
+                ),
+                "\n",
+            ).alias("doc_text"),
+            F.count("*").cast("long").alias("n_pages"),
+        )
+    )
+
+
+def dedup_funnel_survivors(res: DataFrame) -> DataFrame:
+    """extract -> exact-dedup -> quality filter, composed: the lowest url
+    of each identical-text group survives, then the cheap quality gate
+    (length + whitespace-token floor) drops boilerplate shards.
+    Returns (url, n_pages, doc_len, doc_md5).
+
+    Scale shape: md5 hash-agg (min_by representative — map-side partial)
+    then a pure projection filter; no joins, no window, no pairwise
+    stage."""
+    doc = doc_texts(res).where(F.length("doc_text") > 0)
+    uniq = (
+        doc.withColumn("doc_md5", F.md5(F.col("doc_text").cast("binary")))
+        .groupBy("doc_md5")
+        .agg(
+            F.min("url").alias("url"),
+            F.min_by("n_pages", "url").alias("n_pages"),
+            F.min_by(F.length("doc_text").cast("long"), "url").alias(
+                "doc_len"),
+            F.min_by("doc_text", "url").alias("doc_text"),
+        )
+    )
+    spaces = F.length("doc_text") - F.length(F.translate("doc_text", " ", ""))
+    return (
+        uniq.where(
+            (F.col("doc_len") >= QUALITY_MIN_LEN)
+            & (spaces >= QUALITY_MIN_SPACES)
+        )
+        .select("url", "n_pages", "doc_len", "doc_md5")
+    )
+
+
+def dedup_funnel_counts(res: DataFrame) -> DataFrame:
+    """Stage-by-stage funnel over extraction output:
+    extracted_docs -> docs_with_text -> unique_docs -> quality_pass.
+    One row per stage (stage, n).
+
+    Scale shape: each stage is a count over the previous projection —
+    Spark computes them as independent aggregates here (clarity for the
+    oracle); a production variant would fuse them into one conditional
+    agg pass like textops.quality_filter_funnel."""
+    spark = res.sparkSession
+    total = res.select("url").distinct().count()
+    doc = doc_texts(res).where(F.length("doc_text") > 0).persist()
+    with_text = doc.count()
+    uniq = doc.withColumn(
+        "doc_md5", F.md5(F.col("doc_text").cast("binary"))
+    ).select("doc_md5").distinct().count()
+    survivors = dedup_funnel_survivors(res).count()
+    doc.unpersist()
+    rows = [
+        ("extracted_docs", total),
+        ("docs_with_text", with_text),
+        ("unique_docs", uniq),
+        ("quality_pass", survivors),
+    ]
+    return spark.createDataFrame(rows, "stage string, n long")

@@ -347,6 +347,7 @@ def dedup_components(spark, sf_dir, threshold: float = 0.2,
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -370,9 +371,19 @@ def dedup_components(spark, sf_dir, threshold: float = 0.2,
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        # a path-shaped component with diameter > max_iter would exit the
+        # loop with labels mid-propagation — silently wrong vs the exact
+        # transitive closure (and the recursive-CTE oracle).  Make
+        # non-convergence an explicit error instead (ADVICE r05).
+        raise RuntimeError(
+            "dedup_components did not reach its label fixpoint within "
+            "max_iter=%d iterations (component diameter exceeds it); "
+            "raise max_iter" % max_iter)
     return labels.select("doc_id", F.col("label").alias("component"))
 
 

@@ -114,14 +114,14 @@ def test_golden_parity_through_spark(spark):
             continue
         got.setdefault(r.url.split("//")[1], {})[r.page_no] = r.text
     # the pipeline's columnar boundary replaces lone surrogates with
-    # U+FFFD (Arrow/parquet require valid UTF-8; pipeline._utf8_safe,
-    # pinned by f131) — apply the same deterministic rule to the goldens
-    import re as _re
+    # U+FFFD (Arrow/parquet require valid UTF-8; pinned by f131) — apply
+    # THE SAME shared helper to the goldens (core/extract.py utf8_safe;
+    # one definition across pipeline, expectations twin and this test)
+    from pypdfproc_spark.core.extract import utf8_safe
 
-    _surr = _re.compile("[\ud800-\udfff]")
     for name, pages in GOLDENS.items():
         mine = got.get(name, {})
-        exp = [_surr.sub("�", p) for p in pages]
+        exp = [utf8_safe(p) for p in pages]
         assert [mine[i] for i in sorted(mine)] == exp, name
 
 

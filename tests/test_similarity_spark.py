@@ -135,3 +135,43 @@ def test_dedup_components_chain_closure(spark):
         for r in textops.dedup_components(spark, "", pairs=pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_dedup_components_nonconvergence_raises(spark):
+    """A path of diameter 4 cannot reach its fixpoint in max_iter=1:
+    exiting via max_iter must be an explicit error, not silently wrong
+    labels (ADVICE r05)."""
+    import pytest
+
+    from pypdfproc_spark.spark import textops
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (4, 5, 1.0)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        textops.dedup_components(spark, "", pairs=pairs, max_iter=1)
+
+
+def test_ivf_recall_floor(spark, tmp_path):
+    """Retrieval-quality regression gate (VERDICT r04 item 5): recall@5
+    of the IVF probe vs brute force was measured 0.60-0.64 across rounds
+    but never asserted — a codebook/probe change could degrade retrieval
+    while staying oracle-green (the oracle checks determinism, not
+    quality).  Floor: recall@5 >= 0.5 on sf0.001 with the bench
+    parameters (n_cells=16, nprobe=4)."""
+    from pypdfproc_spark.spark import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_topk_bruteforce(spark, sf).collect()
+    }
+    idx = S.ivf_build_index(spark, sf, path=str(tmp_path / "ivf"))
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_ivf_topk(spark, sf, index_dir=idx).collect()
+    }
+    assert exact, "brute-force baseline must return rows"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, "IVF recall@5 dropped to %.3f" % recall

@@ -191,3 +191,53 @@ def test_stream_url_capture_state_persists(spark):
         assert [r.captures for r in rows if r.url == "u://b"] == [1]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dedup_equivalence_batch_twin(spark):
+    """Watermark-dedup EQUIVALENCE gate (VERDICT r04 stretch item): with
+    in-watermark re-crawls of the same urls carrying DIFFERENT payloads,
+    first-arrival-wins output must equal the batch pipeline run on the
+    first-arrival rows ONLY — value-for-value, both directions.  The
+    re-crawls arrive in a second availableNow run so arrival order is
+    deterministic (dedup state persists in the streaming checkpoint)."""
+    import datetime
+
+    from pypdfproc_spark.spark import pipeline as P
+    from pypdfproc_spark.streaming.ingest import stream_extract
+
+    tmp = tempfile.mkdtemp(prefix="streameq_")
+    inp = os.path.join(tmp, "in")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(inp)
+    try:
+        rows = build_pages_rows(load_documents("/root/testdata/sf0.001",
+                                               limit=40))
+        first = rows[:15]
+        # re-crawls: same urls, +5 min (inside the 1 hour watermark),
+        # but DIFFERENT payloads (taken from other documents) — if the
+        # dedup kept the wrong row, the text comparison below fails
+        recrawl = [
+            (u, ts + datetime.timedelta(minutes=5), other_h, t, lg)
+            for (u, ts, _h, t, lg), (_, _, other_h, _, _) in zip(
+                first, rows[20:35])
+        ]
+        _write_batch(spark, first, inp, "batch1")
+        q = stream_extract(spark, inp, out, ckpt, available_now=True,
+                           dedup_within="1 hour")
+        q.awaitTermination(120)
+        _write_batch(spark, recrawl, inp, "batch2")
+        q = stream_extract(spark, inp, out, ckpt, available_now=True,
+                           dedup_within="1 hour")
+        q.awaitTermination(120)
+
+        batch_df = spark.createDataFrame(first, P.PAGES_SCHEMA)
+        batch_res, _ = P.run_pipeline(batch_df, dedup=False, n_buckets=4,
+                                      partitions=4)
+        twin = {(r.url, r.page_no): r.text for r in batch_res.collect()}
+        got = {(r.url, r.page_no): r.text
+               for r in spark.read.parquet(out).collect()}
+        assert got == twin
+        assert twin  # non-vacuous
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -63,6 +63,22 @@ def mutations(data: bytes, name: str = ""):
     yield "del_q", data[: n // 4] + data[n // 4 + 1 :]
     yield "dup_3q", (data[: 3 * n // 4]
                      + data[3 * n // 4 : 3 * n // 4 + 1] + data[3 * n // 4 :])
+    # r05: COMMENT tokens are positional in the reference (returned by
+    # t_COMMENT, consumed by positional Convert/consolidation) and
+    # unicode-whitespace bytes are stripped by some line readers but
+    # lexer-fatal elsewhere — scatter comment/NBSP insertions so every
+    # consumption context gets hit across the corpus.
+    for k in range(3):
+        h = hashlib.md5(("cmt:%s:%d" % (name, k)).encode()).digest()
+        pos = int.from_bytes(h[:4], "big") % n
+        yield "cmt%d_ins@%d" % (k, pos), data[:pos] + b"% c\n" + data[pos:]
+    for k in range(2):
+        h = hashlib.md5(("nbsp:%s:%d" % (name, k)).encode()).digest()
+        pos = int.from_bytes(h[:4], "big") % n
+        yield "nbsp%d_ins@%d" % (k, pos), data[:pos] + b"\xa0" + data[pos:]
+    # fixed-position comment insertions at structural thirds
+    yield "cmt_3", data[: n // 3] + b"% x\n" + data[n // 3 :]
+    yield "cmt_23", data[: 2 * n // 3] + b"% x\n" + data[2 * n // 3 :]
 
 
 class _RefTimeout(Exception):

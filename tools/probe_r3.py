@@ -1595,5 +1595,372 @@ PROBES["objstm_id_mismatch"] = p_objstm_id_mismatch
 PROBES["objstm_swapped_rows"] = p_objstm_swapped_rows
 
 
+# ---------------------------------------------------------------------------
+# Round 5: chain-walk via trailer startxref (ADVICE r05 item 1), unicode
+# strip in the xref sniff (item 2), and COMMENT-token positional effects
+# (the reference lexer RETURNS comment tokens, parser/pdf.py:69-73, and
+# neither consolidation nor Convert filters them -> positional shifts and
+# 'Unknown token type' deaths that our comment-folding scanner would skip).
+
+
+def p_chain_sxr_fork() -> bytes:
+    """No-/Prev trailer A whose own startxref points at an UNVISITED
+    section B that alone indexes the content object.  Reference follows
+    t.startxref.offset (parser/__init__.py:149) -> finds obj 5."""
+    from fixtures.pdfgen import _obj, _stream_obj
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    bodies = {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        3: _obj(3, HELV),
+        4: _obj(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                   b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        5: _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (ForkText) Tj ET"),
+    }
+    for oid in sorted(bodies):
+        offsets[oid] = len(out)
+        out += bodies[oid]
+    xb = len(out)  # section B: only obj 5; terminates chain (startxref 0)
+    out += b"xref\n5 1\n%010d 00000 n \n" % offsets[5]
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    xa = len(out)  # section A: objs 0-4 only; startxref -> XB
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for oid in range(1, 5):
+        out += b"%010d 00000 n \n" % offsets[oid]
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xb
+    out += b"startxref\n%d\n%%%%EOF\n" % xa  # file tail: entry -> XA
+    return bytes(out)
+
+
+def p_chain_sxr_zero() -> bytes:
+    """Same layout but trailer A's startxref is 0: chain stops, obj 5
+    unfindable -> what does extraction look like?"""
+    doc = p_chain_sxr_fork()
+    # trailer A's startxref is the second-to-last startxref value
+    k = doc.rindex(b"startxref\n", 0, doc.rindex(b"startxref\n"))
+    j = doc.index(b"\n", k + 10)
+    return doc[:k] + b"startxref\n0" + doc[j:]
+
+
+def _upd_section(base: bytes, trailer_tail: bytes) -> bytes:
+    """Append an incremental update overriding obj 5, with a custom
+    trailer tail (caller supplies everything after the rows)."""
+    from fixtures.pdfgen import _stream_obj
+    tail = base.rsplit(b"startxref\n", 1)[1]
+    orig_xref = int(tail.split(b"\n", 1)[0])
+    upd = bytearray(base)
+    newoff = len(upd)
+    upd += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Updated text) Tj ET")
+    xref_off = len(upd)
+    upd += b"xref\n5 1\n%010d 00000 n \n" % newoff
+    upd += trailer_tail.replace(b"{PREV}", b"%d" % orig_xref)
+    upd += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(upd)
+
+
+def p_chain_prev_no_sxr() -> bytes:
+    """Trailer WITH /Prev but NO startxref before its %%EOF: Convert_
+    StartXRef(value[1:3]) indexes toks[1] -> IndexError?  (Convert_Trailer
+    runs for EVERY plaintext trailer, __init__.py:1281-1287.)"""
+    base = simple_doc(b"BT /F1 12 Tf 72 720 Td (Original text) Tj ET", HELV)
+    return _upd_section(
+        base, b"trailer\n<< /Size 6 /Root 1 0 R /Prev {PREV} >>\n%%EOF\n")
+
+
+def p_chain_no_prev_no_sxr() -> bytes:
+    """Neither /Prev nor startxref in the newest trailer."""
+    base = simple_doc(b"BT /F1 12 Tf 72 720 Td (Original text) Tj ET", HELV)
+    return _upd_section(base, b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n")
+
+
+def p_chain_comment_before_sxr() -> bytes:
+    """Comment line between trailer dict and startxref: COMMENT is a real
+    token, so value[1:3]=[COMMENT, xref_start] -> offset='startxref'."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (CmtSxr) Tj ET", HELV)
+    return doc.replace(b">>\nstartxref\n", b">>\n% note\nstartxref\n")
+
+
+def p_chain_bare_ints_zero() -> bytes:
+    """Bare '999 0' between dict and startxref: positional Convert takes
+    value[2]=0 as the next offset -> chain just terminates?"""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (BareZero) Tj ET", HELV)
+    return doc.replace(b">>\nstartxref\n", b">>\n999 0\nstartxref\n")
+
+
+def p_chain_bare_ints_junk() -> bytes:
+    """Bare '0 999' between dict and startxref: value[2]=999 -> jumps to
+    byte 999 as an xref offset -> garbage."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (BareJunk) Tj ET", HELV)
+    return doc.replace(b">>\nstartxref\n", b">>\n0 999\nstartxref\n")
+
+
+def p_chain_negative_sxr() -> bytes:
+    """Tail startxref is negative: file.seek(-5) -> OSError?"""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (NegSxr) Tj ET", HELV)
+    i = doc.rindex(b"startxref\n")
+    j = doc.index(b"\n", i + 10)
+    return doc[:i] + b"startxref\n-5" + doc[j:]
+
+
+def p_sniff_nbsp_xref() -> bytes:
+    """NBSP glued to the 'xref' section-header line: the sniff decodes
+    latin-1 and str.strip()s (unicode, both ends, __init__.py:221) so the
+    reference sees 'xref'; raw-bytes tokenization dies on \\xa0."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (NbspXref) Tj ET", HELV)
+    i = doc.rindex(b"xref\n0 ")
+    return doc[:i] + b"xref\xa0\n" + doc[i + 5:]
+
+
+def p_sniff_nel_xref() -> bytes:
+    """Same with \\x85 (NEL) — also stripped by unicode str.strip()."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (NelXref) Tj ET", HELV)
+    i = doc.rindex(b"xref\n0 ")
+    return doc[:i] + b"xref\x85\n" + doc[i + 5:]
+
+
+def p_sniff_comment_objline() -> bytes:
+    """Comment glued onto the xref-stream header line: sniff tokens are
+    [INT,INT,obj,COMMENT] -> len 4 -> NOT a stream -> plaintext scan for
+    a 'trailer' line that doesn't exist."""
+    from fixtures.pdfgen import FIXTURES
+    doc = FIXTURES["f05_xrefstream"]()
+    return doc.replace(b"7 0 obj\n", b"7 0 obj % c\n")
+
+
+def p_comment_in_catalog() -> bytes:
+    """Comment inside the catalog dict: COMMENT lands in a key/value slot
+    of Convert_Dictionary -> Convert raises 'Unknown token type'."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog % c\n/Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (CmtCat) Tj ET")
+    return f.build(1)
+
+
+def p_comment_in_content_dict() -> bytes:
+    """Comment inside the content STREAM dict (hits the NeedStreamLength
+    replay path): page-level or doc-level?"""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    data = b"BT /F1 12 Tf 72 720 Td (CmtStream) Tj ET"
+    f.add_raw(5, b"5 0 obj\n<< %% c\n/Length %d >>\nstream\n" % len(data)
+                 + data + b"\nendstream\nendobj\n")
+    return f.build(1)
+
+
+def p_comment_before_obj_dict() -> bytes:
+    """Comment between 'INT INT obj' and the dict."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    data = b"BT /F1 12 Tf 72 720 Td (CmtObj) Tj ET"
+    f.add_raw(5, b"5 0 obj %% c\n<< /Length %d >>\nstream\n" % len(data)
+                 + data + b"\nendstream\nendobj\n")
+    return f.build(1)
+
+
+def p_comment_in_kids_array() -> bytes:
+    """Comment inside the /Kids array."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [% c\n4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (CmtKids) Tj ET")
+    return f.build(1)
+
+
+def p_comment_in_xref_rows() -> bytes:
+    """Comment line between the subsection header and the first row:
+    Convert_XRef's 3-stride sees COMMENT where INT is required."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (CmtRows) Tj ET", HELV)
+    i = doc.rindex(b"xref\n0 ")
+    eol = doc.index(b"\n", i + 5)  # end of the '0 N' subsection line
+    return doc[:eol + 1] + b"% c\n" + doc[eol + 1:]
+
+
+def p_comment_in_trailer_dict() -> bytes:
+    """Comment inside the trailer dictionary."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (CmtTrailer) Tj ET", HELV)
+    return doc.replace(b"trailer\n<< /Size", b"trailer\n<< % c\n/Size")
+
+
+PROBES["chain_sxr_fork"] = p_chain_sxr_fork
+PROBES["chain_sxr_zero"] = p_chain_sxr_zero
+PROBES["chain_prev_no_sxr"] = p_chain_prev_no_sxr
+PROBES["chain_no_prev_no_sxr"] = p_chain_no_prev_no_sxr
+PROBES["chain_comment_before_sxr"] = p_chain_comment_before_sxr
+PROBES["chain_bare_ints_zero"] = p_chain_bare_ints_zero
+PROBES["chain_bare_ints_junk"] = p_chain_bare_ints_junk
+PROBES["chain_negative_sxr"] = p_chain_negative_sxr
+PROBES["sniff_nbsp_xref"] = p_sniff_nbsp_xref
+PROBES["sniff_nel_xref"] = p_sniff_nel_xref
+PROBES["sniff_comment_objline"] = p_sniff_comment_objline
+PROBES["comment_in_catalog"] = p_comment_in_catalog
+PROBES["comment_in_content_dict"] = p_comment_in_content_dict
+PROBES["comment_before_obj_dict"] = p_comment_before_obj_dict
+PROBES["comment_in_kids_array"] = p_comment_in_kids_array
+PROBES["comment_in_xref_rows"] = p_comment_in_xref_rows
+PROBES["comment_in_trailer_dict"] = p_comment_in_trailer_dict
+
+
+def _five_obj_doc(bodies5: dict) -> "object":
+    """Standard 5-object graph with per-oid raw override via bodies5."""
+    from fixtures.pdfgen import _obj, _stream_obj
+    f = PdfFile()
+    defaults = {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        3: _obj(3, HELV),
+        4: _obj(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                   b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        5: _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (TrailCmt) Tj ET"),
+    }
+    defaults.update(bodies5)
+    for oid in sorted(defaults):
+        f.bodies[oid] = defaults[oid]
+    return f
+
+
+def p_tcmt_catalog() -> bytes:
+    """Trailing comment after the catalog dict (before endobj):
+    _StupidObjectParser indexes value[2][0] -> tolerated?"""
+    f = _five_obj_doc({1: b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >> "
+                          b"% c\nendobj\n"})
+    return f.build(1)
+
+
+def p_tcmt_page() -> bytes:
+    f = _five_obj_doc({4: b"4 0 obj\n<< /Type /Page /Parent 2 0 R "
+                          b"/MediaBox [0 0 612 792] /Resources << /Font "
+                          b"<< /F1 3 0 R >> >> /Contents 5 0 R >> % c\nendobj\n"})
+    return f.build(1)
+
+
+def p_tcmt_font() -> bytes:
+    f = _five_obj_doc({3: b"3 0 obj\n" + HELV + b" % c\nendobj\n"})
+    return f.build(1)
+
+
+def p_tcmt_content() -> bytes:
+    """Comment between endstream and endobj of the content stream."""
+    data = b"BT /F1 12 Tf 72 720 Td (TcmtStream) Tj ET"
+    f = _five_obj_doc({5: b"5 0 obj\n<< /Length %d >>\nstream\n" % len(data)
+                          + data + b"\nendstream % c\nendobj\n"})
+    return f.build(1)
+
+
+def p_tcmt_length() -> bytes:
+    """Indirect /Length whose int object has a trailing comment:
+    _ParseInt indexes value[2][0] -> tolerated?"""
+    data = b"BT /F1 12 Tf 72 720 Td (TcmtLen) Tj ET"
+    f = _five_obj_doc({5: b"5 0 obj\n<< /Length 6 0 R >>\nstream\n"
+                          + data + b"\nendstream\nendobj\n"})
+    f.bodies[6] = b"6 0 obj\n%d %% c\nendobj\n" % len(data)
+    return f.build(1)
+
+
+def p_tcmt_resource_dict() -> bytes:
+    """Indirect font RESOURCE dict with trailing comment: the Resource
+    attr loader uses GetDictionary -> _ParseDictionary Converts the WHOLE
+    inner token list -> COMMENT dies?"""
+    f = _five_obj_doc({4: b"4 0 obj\n<< /Type /Page /Parent 2 0 R "
+                          b"/MediaBox [0 0 612 792] /Resources << /Font "
+                          b"7 0 R >> /Contents 5 0 R >>\nendobj\n"})
+    f.bodies[7] = b"7 0 obj\n<< /F1 3 0 R >> % c\nendobj\n"
+    return f.build(1)
+
+
+def p_cmt_before_header() -> bytes:
+    """xref offset points at a comment line preceding 'INT INT obj'."""
+    data = b"BT /F1 12 Tf 72 720 Td (CmtHdr) Tj ET"
+    f = _five_obj_doc({5: b"%% c\n5 0 obj\n<< /Length %d >>\nstream\n" % len(data)
+                          + data + b"\nendstream\nendobj\n"})
+    return f.build(1)
+
+
+def p_objstm_cmt() -> bytes:
+    """Comment inside an object-stream inner object (the catalog) —
+    rebuilt from scratch (offsets recomputed)."""
+    from fixtures.pdfgen import _stream_obj, flate, png_up_encode
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    offsets[5] = len(out)
+    out += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (ObjstmCmt) Tj ET")
+    inner = [
+        (1, b"<< /Type /Catalog % c\n/Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, HELV),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+    ]
+    bodies = b""
+    offs = []
+    for oid, body in inner:
+        offs.append((oid, len(bodies)))
+        bodies += body + b" "
+    index = b" ".join(b"%d %d" % (o, off) for o, off in offs) + b" "
+    objstm_data = index + bodies
+    offsets[6] = len(out)
+    out += _stream_obj(
+        6, b"/Type /ObjStm /N %d /First %d" % (len(inner), len(index)),
+        objstm_data)
+    xref_off = len(out)
+
+    def row(t, f2, f3):
+        return bytes([t, (f2 >> 8) & 0xFF, f2 & 0xFF, f3])
+
+    rows = [row(0, 0, 255)] + [row(2, 6, k) for k in range(4)]
+    rows += [row(1, offsets[5], 0), row(1, offsets[6], 0),
+             row(1, xref_off, 0)]
+    xdata = flate(png_up_encode(rows))
+    xdict = (b"/Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R "
+             b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>")
+    out += _stream_obj(7, xdict, xdata)
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
+def p_tail_glued_comment() -> bytes:
+    """Appended tail whose startxref line has glued junk: the reference's
+    reverse scan needs a line EXACTLY 'startxref' -> walks further back
+    to the trailer's own startxref -> still extracts via XA."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (GluedTail) Tj ET", HELV)
+    return doc + b"startxref % c\n123\n%%EOF\n"
+
+
+def p_tail_comment_between() -> bytes:
+    """Appended clean tail with a comment line between startxref and the
+    INT: toks[1] is COMMENT, not INT -> dies?"""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (TailCmt) Tj ET", HELV)
+    tail = doc.rsplit(b"startxref\n", 1)[1]
+    xa = int(tail.split(b"\n", 1)[0])
+    return doc + b"startxref\n%% c\n%d\n%%%%EOF\n" % xa
+
+
+PROBES["tcmt_catalog"] = p_tcmt_catalog
+PROBES["tcmt_page"] = p_tcmt_page
+PROBES["tcmt_font"] = p_tcmt_font
+PROBES["tcmt_content"] = p_tcmt_content
+PROBES["tcmt_length"] = p_tcmt_length
+PROBES["tcmt_resource_dict"] = p_tcmt_resource_dict
+PROBES["cmt_before_header"] = p_cmt_before_header
+PROBES["objstm_cmt"] = p_objstm_cmt
+PROBES["tail_glued_comment"] = p_tail_glued_comment
+PROBES["tail_comment_between"] = p_tail_comment_between
+
+
 if __name__ == "__main__":
     main()
