@@ -236,28 +236,46 @@ def _spin(n: int) -> float:
     return time.time() - t0
 
 
-def hardware_capacity(levels) -> dict:
+def _spin_timed(seconds: float) -> int:
+    """Spin for a FIXED duration and return iterations done — a
+    sustained-load probe whose duration matches the measured jobs, so
+    CPU-credit burst throttling (the r04 confounder: short spins measured
+    18-23 effective cores that sustained jobs never got) is reflected in
+    the ceiling instead of hidden by it."""
+    t_end = time.time() + seconds
+    x = 0
+    it = 0
+    while time.time() < t_end:
+        for i in range(100_000):
+            x += i * i
+        it += 100_000
+    return it
+
+
+def hardware_capacity(levels, seconds: float = 10.0) -> dict:
     """Measured effective parallel capacity of THIS sandbox at each level,
-    via a pure-CPU spin in N processes.  The box advertises 32 CPUs but is
-    an oversubscribed/SMT host: perfect 4x speedup from 8->32 threads is
+    via a SUSTAINED pure-CPU spin in N processes (r05: duration-matched —
+    see _spin_timed).  The box advertises 32 CPUs but is an
+    oversubscribed/SMT host: perfect 4x speedup from 8->32 threads is
     physically unavailable, so the honest scaling evidence reports the job
     against the measured hardware ceiling, not against an ideal the metal
     cannot deliver."""
     import multiprocessing as mp
 
-    N = 20_000_000
     out = {}
     base = None
     for n in sorted(set(levels) | {1}):
-        t0 = time.time()
         with mp.Pool(n) as pool:
-            pool.map(_spin, [N] * n)
-        wall = time.time() - t0
-        rate = n * N / wall
+            ops = pool.map(_spin_timed, [seconds] * n)
+        rate = sum(ops) / seconds
         if base is None:
             base = rate
         out[n] = round(rate / base, 2)  # effective cores at this level
     return out
+
+
+def _dispersion(vals) -> float:
+    return max(vals) / min(vals) if vals and min(vals) > 0 else float("inf")
 
 
 def scaling_mode(runs: int = 3) -> None:
@@ -266,13 +284,16 @@ def scaling_mode(runs: int = 3) -> None:
     repl = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "100"))
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
+    max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_RETRIES", "2"))
     pages_path, _ = pages_parquet(SF_DIR, repl=repl)
     hw = hardware_capacity([lo, hi])
     walls: dict[int, list] = {lo: [], hi: []}
     docs = 0
-    # interleave the levels so co-tenant load drift on this shared host
-    # hits both levels equally instead of biasing one whole phase
-    for _ in range(runs):
+
+    def one_round():
+        nonlocal docs
+        # interleave the levels so co-tenant load drift on this shared
+        # host hits both levels equally instead of biasing one phase
         for cores in (lo, hi):
             spark = build("local[%d]" % cores)
             try:
@@ -280,6 +301,19 @@ def scaling_mode(runs: int = 3) -> None:
             finally:
                 spark.stop()
             walls[cores].append(w)
+
+    for _ in range(runs):
+        one_round()
+    # retry-until-quiet (r05): the host's CPU-credit throttle is
+    # detectable as bimodal walls — if either level's spread exceeds
+    # 1.5x, add interleaved rounds so the median comes from a quieter
+    # sample instead of a throttled one
+    extra = 0
+    while extra < max_extra and (
+        _dispersion(walls[lo]) > 1.5 or _dispersion(walls[hi]) > 1.5
+    ):
+        extra += 1
+        one_round()
     results = {}
     for cores in (lo, hi):
         med = statistics.median(walls[cores])
@@ -302,6 +336,11 @@ def scaling_mode(runs: int = 3) -> None:
         "job_speedup": round(job_speedup, 3),
         "hw_speedup": round(hw_speedup, 3),
         "efficiency_vs_hardware": round(norm_eff, 3) if norm_eff else None,
+        "wall_dispersion": {
+            lo: round(_dispersion(walls[lo]), 2),
+            hi: round(_dispersion(walls[hi]), 2),
+        },
+        "extra_rounds": extra,
         "sf": SF_DIR,
         "repl": repl,
     }
