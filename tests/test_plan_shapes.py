@@ -124,3 +124,32 @@ def test_extract_plain_path_single_payload_shuffle(spark):
     assert len(re.findall(r"Exchange hashpartitioning\(url", plan)) == 1
     assert "RoundRobinPartitioning" not in plan
     assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_dedup_funnel_survivors_plan(spark):
+    """The composed extract->dedup->quality funnel must stay join-free and
+    window-free: two hash aggregations (url doc-assembly, md5 min_by
+    representative) and a projection filter — nothing pairwise, nothing
+    that breaks partial aggregation (r05)."""
+    import datetime
+
+    from pypdfproc_spark.spark import pipeline as P
+
+    rows = [
+        ("http://p/%d" % i, datetime.datetime(2025, 1, 1), None,
+         "t" * (i + 1), None, i % 3, "text %d words here ok" % i, [],
+         "html", None)
+        for i in range(6)
+    ]
+    res = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, page_no int, text2 string, spans array<string>, "
+        "parser string, error string",
+    ).selectExpr("url", "page_no", "text2 as text", "parser", "error")
+    plan = _plan(P.dedup_funnel_survivors(res))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # both aggregations keep map-side partials (partial_ markers)
+    assert plan.count("partial_") >= 1, plan
