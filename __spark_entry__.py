@@ -180,6 +180,24 @@ def _q_pipeline_dedup_survivors(spark, sf_dir):
     return P.dedup_funnel_survivors(res)
 
 
+def _q_pipeline_near_dedup(spark, sf_dir):
+    """Composed NEAR-dedup over extraction output (r05): the per-document
+    text assembled from the real extraction runs through the same
+    MinHash+LSH banding as the documents table, with url as the doc id —
+    the candidate-pair stage of a 100 TB post-extraction dedup."""
+    from pyspark.sql import functions as F
+
+    from pypdfproc_spark.spark import pipeline as P
+    from pypdfproc_spark.spark import textops
+
+    pages = _pages_df(spark, sf_dir, limit=150)
+    res, _ = P.run_pipeline(pages, n_buckets=16, partitions=8)
+    docs = P.doc_texts(res).select(
+        F.col("url").alias("doc_id"), F.col("doc_text").alias("text")
+    )
+    return textops.dedup_minhash_lsh(spark, sf_dir, docs=docs)
+
+
 def _q_pipeline_dedup_funnel(spark, sf_dir):
     """Stage counts for the composed pipeline: extracted_docs ->
     docs_with_text -> unique_docs -> quality_pass."""
@@ -244,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the frozen extraction twin
         "pipeline_dedup_funnel": _q_pipeline_dedup_funnel,
         "pipeline_dedup_survivors": _q_pipeline_dedup_survivors,
+        "pipeline_near_dedup": _q_pipeline_near_dedup,
     }
 
 
@@ -815,6 +834,33 @@ def oracle_sql() -> dict[str, str]:
     sql["pipeline_dedup_survivors"] = (
         _funnel_doc + " SELECT url, n_pages, doc_len, doc_md5 FROM survivors"
     )
+    # composed near-dedup (r05): the dedup_minhash_lsh CTE chain verbatim,
+    # but over documents REBUILT from the frozen extraction twin (url as
+    # the doc id; string ids compare binary in both engines)
+    sql["pipeline_near_dedup"] = f"""
+        WITH pages AS (
+            SELECT url, page_no, text
+            FROM read_parquet('{_exp}/extract_pages_sf001.parquet')
+        ), exdocs AS (
+            SELECT url AS doc_id,
+                   string_agg(text, chr(10) ORDER BY page_no) AS text
+            FROM pages WHERE page_no IS NOT NULL GROUP BY url
+        ), toks AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM exdocs)
+        ), sigs AS (
+          SELECT doc_id, {_sig} FROM toks GROUP BY doc_id
+        ), bands0 AS ({_bands}),
+        bands AS (
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS _n
+            FROM bands0) WHERE _n <= 50
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
     sql["pipeline_dedup_funnel"] = _funnel_doc + """
         SELECT 'extracted_docs' AS stage,
                CAST(count(DISTINCT url) AS BIGINT) AS n

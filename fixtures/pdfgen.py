@@ -2624,6 +2624,86 @@ def f165_cmt_before_header() -> bytes:
     return f.build(1)
 
 
+def _r5_cmap_doc(cmap_body: bytes) -> bytes:
+    """Type0/Identity-H + ToUnicode CMap doc (for the cmap comment pins)."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, b"<< /Type /Font /Subtype /Type0 /BaseFont /Test-H "
+             b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+             b"/ToUnicode 7 0 R >>")
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td <0041> Tj ET")
+    f.add(6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Test "
+             b"/CIDSystemInfo << /Registry (T) /Ordering (T) /Supplement 0 >> "
+             b"/W [ 0 255 500 ] >>")
+    f.add_stream(7, b"", cmap_body)
+    return f.build(1)
+
+
+def f166_cmap_cmt_outside() -> bytes:
+    """Comment BETWEEN CMap sections: BuildMapper's section loops ignore
+    tokens outside an open section -> extracts (the cmap lexer RETURNS
+    comment tokens, cmap.py:117-122)."""
+    return _r5_cmap_doc(b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+% a comment between sections
+1 beginbfchar <0041> <0058> endbfchar
+endcmap CMapName currentdict /CMap defineresource pop end end""")
+
+
+def f167_cmap_cmt_in_bfchar() -> bytes:
+    """Comment INSIDE beginbfchar..endbfchar: the COMMENT token hits
+    BuildMapper's 'Unrecognized token' raise (__init__.py:971) -> the
+    eager CMapper build kills the page (f112 semantics)."""
+    return _r5_cmap_doc(b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+1 beginbfchar <0041>
+% comment inside the section
+<0058> endbfchar
+endcmap CMapName currentdict /CMap defineresource pop end end""")
+
+
+def f168_cmap_cmt_in_bfrange() -> bytes:
+    """Same inside beginbfrange (raise at __init__.py:999)."""
+    return _r5_cmap_doc(b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+1 beginbfrange <0041> <0043>
+% comment inside range
+<0058> endbfrange
+endcmap CMapName currentdict /CMap defineresource pop end end""")
+
+
+def f169_cr_tail() -> bytes:
+    """CR-only line endings in the startxref tail: the reference's
+    REVERSE reader splits on bare \r too (betterfile.py:94-130) ->
+    extracts.  Our \n-only reverse scan died here until r05."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (CrTail) Tj ET", HELV)
+    i = doc.rindex(b"startxref\n")
+    return doc[:i] + doc[i:].replace(b"\n", b"\r")
+
+
+def f170_cr_xref_region() -> bytes:
+    """CR-only endings through the whole xref+trailer region: the
+    FORWARD reader also ends lines at bare \r (betterfile readline;
+    its CRLF peek compares int to bytes and never fires) -> extracts."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (CrXref) Tj ET", HELV)
+    i = doc.rindex(b"xref\n0 ")
+    return doc[:i] + doc[i:].replace(b"\n", b"\r")
+
+
+def f171_crlf_tail() -> bytes:
+    """CRLF endings in the tail: the reverse reader consumes \r\n as ONE
+    terminator -> extracts (pins the asymmetric CRLF handling)."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (CrlfTail) Tj ET", HELV)
+    i = doc.rindex(b"startxref\n")
+    return doc[:i] + doc[i:].replace(b"\n", b"\r\n")
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -2790,6 +2870,12 @@ FIXTURES = {
     "f163_tail_glued_comment": f163_tail_glued_comment,
     "f164_tail_comment_between": f164_tail_comment_between,
     "f165_cmt_before_header": f165_cmt_before_header,
+    "f166_cmap_cmt_outside": f166_cmap_cmt_outside,
+    "f167_cmap_cmt_in_bfchar": f167_cmap_cmt_in_bfchar,
+    "f168_cmap_cmt_in_bfrange": f168_cmap_cmt_in_bfrange,
+    "f169_cr_tail": f169_cr_tail,
+    "f170_cr_xref_region": f170_cr_xref_region,
+    "f171_crlf_tail": f171_crlf_tail,
 }
 
 

@@ -206,14 +206,18 @@ _TOKEN_RE_CONTENT = _re.compile(
 # CMap variant, mirroring parser/cmap.py exactly: its own keyword set
 # (PostScript scaffolding words are TOKENS, longest-first, no generic
 # run class — unknown runs are t_error), comments are %[^\r\n]* with no
-# %%EOF carve-out, '(' and ')' are plain LIT_START/LIT_END tokens (there
-# is NO literal-content rule: string bodies must lex as other tokens or
-# they die), FLOAT before INT, CODE = <hex+> strict.
+# %%EOF carve-out AND are RETURNED as tokens (t_COMMENT returns t,
+# cmap.py:117-122 — a comment INSIDE a bfchar/bfrange section hits
+# BuildMapper's 'Unrecognized token' raise, probed r05
+# cmap_cmt_in_bfchar), '(' and ')' are plain LIT_START/LIT_END tokens
+# (there is NO literal-content rule: string bodies must lex as other
+# tokens or they die), FLOAT before INT, CODE = <hex+> strict.
 _TOKEN_RE_CMAP = _re.compile(
     rb"""
-    (?:[\t\n\r ]+|%[^\r\n]*)*
+    [\t\n\r ]*
     (?:
-      (?P<flt>[+-]?[0-9]*\.[0-9]*)
+      (?P<cmt>%[^\r\n]*)
+    | (?P<flt>[+-]?[0-9]*\.[0-9]*)
     | (?P<num>[+-]?[0-9]+)
     | (?P<name>/[^\t\n\r ()<>\[\]/]+)
     | (?P<hex><[0-9A-Fa-f]+>)
@@ -542,6 +546,23 @@ class Parser:
 # xref / trailer chain
 
 
+def _eol(data: bytes, pos: int) -> int:
+    """Offset of the next line terminator at/after ``pos`` (or -1).
+
+    Reference parity (betterfile.py readline, probed r05 cr_xref_region):
+    a FORWARD line ends at the first bare \\r or \\n — and the CRLF peek
+    comparison there is int-vs-bytes and never true, so \\r\\n reads as a
+    CR line end followed by an EMPTY line at the \\n (callers advancing
+    one byte past the terminator reproduce that empty line)."""
+    r = data.find(b"\r", pos)
+    n = data.find(b"\n", pos)
+    if r == -1:
+        return n
+    if n == -1:
+        return r
+    return r if r < n else n
+
+
 def _collect_lines(data: bytes, pos: int, stop, include_stop: bool,
                    what: str):
     """Line collection EXACTLY like the reference's readline loops
@@ -556,7 +577,7 @@ def _collect_lines(data: bytes, pos: int, stop, include_stop: bool,
     while True:
         if scan >= n:
             raise PdfError("reached EOF before %s was read" % what)
-        le = data.find(b"\n", scan)
+        le = _eol(data, scan)  # \r OR \n ends a line (betterfile, r05)
         if le == -1:
             le = n
         line = data[scan:le].decode("latin-1").rstrip()
@@ -757,14 +778,22 @@ class PdfDocument:
         data = self.data
         scan_end = len(data)
         while True:
-            nl = data.rfind(b"\n", 0, scan_end)
+            # readlinerev splits on bare \r too, and consumes \r\n as
+            # ONE terminator in reverse (betterfile.py:94-130, probed r05
+            # cr_tail) — unlike the forward reader's CRLF bug
+            r = data.rfind(b"\r", 0, scan_end)
+            n = data.rfind(b"\n", 0, scan_end)
+            nl = r if r > n else n
             line = data[nl + 1 : scan_end]
             if line.decode("latin-1").rstrip() == "startxref":
                 pos = nl + 1
                 break
             if nl < 0:
                 raise PdfError("startxref not found (reverse scan hit BOF)")
-            scan_end = nl
+            if data[nl] == 0x0A and nl > 0 and data[nl - 1] == 0x0D:
+                scan_end = nl - 1
+            else:
+                scan_end = nl
         # The reference lexes the collected lines AFTER decoding latin-1
         # and unicode-RSTRIPPING each (readlinerev loop, joined \r\n): a
         # trailing NBSP/NEL on any tail line vanishes before the lexer
@@ -774,11 +803,16 @@ class PdfDocument:
         k = pos
         nd = len(data)
         while k < nd:
-            le = data.find(b"\n", k)
+            le = _eol(data, k)
             if le == -1:
                 le = nd
+                nxt = nd
+            elif data[le] == 0x0D and le + 1 < nd and data[le + 1] == 0x0A:
+                nxt = le + 2  # reverse-reader semantics: \r\n is ONE break
+            else:
+                nxt = le + 1
             region_lines.append(data[k:le].decode("latin-1").rstrip())
-            k = le + 1
+            k = nxt
         region = "\r\n".join(region_lines).encode("latin-1")
         # tokens are checked POSITIONALLY like Initialize's toks[0..2]
         # (xref_start, INT, EOF) — comments are real tokens here, so a
@@ -837,7 +871,7 @@ class PdfDocument:
             # collects lines until it; EOF first is a doc-level error) —
             # so an offset shifted into whitespace before an xref-stream
             # object dies instead of being whitespace-folded.
-            eol = self.data.find(b"\n", offset)
+            eol = _eol(self.data, offset)
             line = self.data[offset: eol if eol != -1 else len(self.data)]
             # the reference decodes latin-1 and str.strip()s — UNICODE
             # whitespace, BOTH ends (parser/__init__.py:221): a trailing
@@ -866,7 +900,7 @@ class PdfDocument:
                     if scan >= len(self.data):
                         raise PdfError(
                             "reached EOF before xref was read")
-                    le = self.data.find(b"\n", scan)
+                    le = _eol(self.data, scan)
                     if le == -1:
                         le = len(self.data)
                     if self.data[scan:le].startswith(b"trailer"):

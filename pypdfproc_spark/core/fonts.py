@@ -97,6 +97,13 @@ def compile_cmap(data: bytes):
             toks.append(("arr<", None))
         elif kind == "arr>":
             toks.append(("arr>", None))
+        elif kind == "cmt":
+            # the reference cmap lexer RETURNS comment tokens
+            # (cmap.py:117-122): outside sections BuildMapper ignores
+            # them, but inside bfchar/bfrange/cidrange they hit the
+            # 'Unrecognized token' raise (probed r05) — keep them so the
+            # _section allowed-kinds check sees them
+            toks.append(("cmt", val))
         # names, floats, dict delims, literals: scaffolding -- skip
 
     mapdat: dict[int, str] = {}

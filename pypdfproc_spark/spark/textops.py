@@ -93,7 +93,8 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
 MAX_BAND_BUCKET = 50  # degenerate-bucket guard (see docstring)
 
 
-def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
+def dedup_minhash_lsh(spark, sf_dir, docs: DataFrame | None = None
+                      ) -> DataFrame:
     """MinHash + LSH banding: candidate near-duplicate pairs.
 
     Scale path: signatures are one hash-agg over the exploded tokens; the
@@ -104,8 +105,13 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     job; production LSH dedup pipelines cap bucket fan-out for exactly this
     reason.  The cap is a window count + filter — cheap, and it bounds the
     join output to MAX_BAND_BUCKET^2/2 pairs per bucket regardless of
-    corpus size."""
-    docs = load_documents(spark, sf_dir)
+    corpus size.
+
+    ``docs``: optional (doc_id, text) DataFrame overriding the documents
+    table — the composed pipeline (r05) runs this over extraction output
+    with url as the id; string ids compare binary in both engines."""
+    if docs is None:
+        docs = load_documents(spark, sf_dir)
     sigs = _minhash_signatures(docs)
     bands = sigs.select(
         "doc_id",

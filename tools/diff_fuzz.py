@@ -79,6 +79,13 @@ def mutations(data: bytes, name: str = ""):
     # fixed-position comment insertions at structural thirds
     yield "cmt_3", data[: n // 3] + b"% x\n" + data[n // 3 :]
     yield "cmt_23", data[: 2 * n // 3] + b"% x\n" + data[2 * n // 3 :]
+    # bare-CR insertions: the reference's line readers end lines at \r
+    # too (betterfile; r05 f169-f171), so a stray CR splits lines there
+    # but is plain whitespace to the lexers
+    for k in range(2):
+        h = hashlib.md5(("cr:%s:%d" % (name, k)).encode()).digest()
+        pos = int.from_bytes(h[:4], "big") % n
+        yield "cr%d_ins@%d" % (k, pos), data[:pos] + b"\r" + data[pos:]
 
 
 class _RefTimeout(Exception):

@@ -1962,5 +1962,82 @@ PROBES["tail_glued_comment"] = p_tail_glued_comment
 PROBES["tail_comment_between"] = p_tail_comment_between
 
 
+def _cmap_probe(cmap_body: bytes) -> bytes:
+    return _type0_doc(cmap_body, b"<0041>")
+
+
+CMAP_CMT_OUTSIDE = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+% a comment between sections
+1 beginbfchar <0041> <0058> endbfchar
+endcmap CMapName currentdict /CMap defineresource pop end end"""
+
+CMAP_CMT_IN_BFCHAR = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+1 beginbfchar <0041>
+% comment inside the section
+<0058> endbfchar
+endcmap CMapName currentdict /CMap defineresource pop end end"""
+
+CMAP_CMT_IN_BFRANGE = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+1 beginbfrange <0041> <0043>
+% comment inside range
+<0058> endbfrange
+endcmap CMapName currentdict /CMap defineresource pop end end"""
+
+CMAP_CMT_IN_CODESPACE = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange % cmt
+<0000> <FFFF> endcodespacerange
+1 beginbfchar <0041> <0058> endbfchar
+endcmap CMapName currentdict /CMap defineresource pop end end"""
+
+
+def p_cmap_cmt_outside() -> bytes:
+    return _cmap_probe(CMAP_CMT_OUTSIDE)
+
+
+def p_cmap_cmt_in_bfchar() -> bytes:
+    return _cmap_probe(CMAP_CMT_IN_BFCHAR)
+
+
+def p_cmap_cmt_in_bfrange() -> bytes:
+    return _cmap_probe(CMAP_CMT_IN_BFRANGE)
+
+
+def p_cmap_cmt_in_codespace() -> bytes:
+    return _cmap_probe(CMAP_CMT_IN_CODESPACE)
+
+
+def p_cr_tail() -> bytes:
+    """CR-only line endings in the startxref tail: the reference's
+    REVERSE reader splits on bare \\r too (betterfile.py:94-130), so the
+    'startxref' line is found; forward readers split on \\n only."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (CrTail) Tj ET", HELV)
+    i = doc.rindex(b"startxref\n")
+    tail = doc[i:]
+    return doc[:i] + tail.replace(b"\n", b"\r")
+
+
+def p_cr_xref_region() -> bytes:
+    """CR-only endings through the whole xref+trailer region."""
+    doc = simple_doc(b"BT /F1 12 Tf 72 720 Td (CrXref) Tj ET", HELV)
+    i = doc.rindex(b"xref\n0 ")
+    region = doc[i:]
+    return doc[:i] + region.replace(b"\n", b"\r")
+
+
+PROBES["cmap_cmt_outside"] = p_cmap_cmt_outside
+PROBES["cmap_cmt_in_bfchar"] = p_cmap_cmt_in_bfchar
+PROBES["cmap_cmt_in_bfrange"] = p_cmap_cmt_in_bfrange
+PROBES["cmap_cmt_in_codespace"] = p_cmap_cmt_in_codespace
+PROBES["cr_tail"] = p_cr_tail
+PROBES["cr_xref_region"] = p_cr_xref_region
+
+
 if __name__ == "__main__":
     main()
