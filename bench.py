@@ -121,6 +121,25 @@ def run_extraction_bucketed(spark, pages_path: str) -> tuple[float, int]:
     return wall, n_rows
 
 
+def run_composed_funnel(spark, pages_path: str) -> tuple[float, int]:
+    """The composed post-extraction corpus pipeline at BENCH scale (r05):
+    dedup_funnel_survivors (exact-dedup + quality gate) over the full
+    50k-doc extraction output.  Extraction is materialized first
+    (persisted, kilobyte rows — the payload was dropped post-UDF) so the
+    measured window is the funnel alone."""
+    from pypdfproc_spark.spark import pipeline as P
+
+    pages = spark.read.parquet(pages_path)
+    res, _ = P.run_pipeline(pages, n_buckets=64, partitions=int(CPUS))
+    res = res.persist()
+    res.count()
+    t0 = time.time()
+    n = P.dedup_funnel_survivors(res).count()
+    wall = time.time() - t0
+    res.unpersist()
+    return wall, n
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     """Time the headline operator set (action = count)."""
     import __spark_entry__ as E
@@ -190,6 +209,8 @@ def default_mode() -> None:
         wall, docs, rows = run_extraction(spark, pages_path)
         wall_b, rows_b = run_extraction_bucketed(spark, pages_path)
         qt = run_queries(spark, SF_DIR)
+        wall_f, _nf = run_composed_funnel(spark, pages_path)
+        qt["pipeline_dedup_funnel"] = round(wall_f, 3)
     finally:
         spark.stop()
     # one-time BUILD artifacts (cold IVF train) are reported separately so

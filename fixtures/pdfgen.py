@@ -2704,6 +2704,52 @@ def f171_crlf_tail() -> bytes:
     return doc[:i] + doc[i:].replace(b"\n", b"\r\n")
 
 
+def f172_objstm_float_idx() -> bytes:
+    """FLOAT offset ('0.0') in the objstm index: the reference never
+    type-checks index tokens (Tokens[0:2N].value) and float lexpos
+    windows compare fine -> extracts.  Our int-only check died here
+    until r05."""
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    offsets[5] = len(out)
+    out += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (FloatIdx) Tj ET")
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, HELV),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+    ]
+    bodies = b""
+    offs = []
+    for oid, body in inner:
+        offs.append((oid, len(bodies)))
+        bodies += body + b" "
+    parts = []
+    for k, (o, off) in enumerate(offs):
+        parts.append(b"%d %s" % (o, (b"0.0" if k == 0 else b"%d" % off)))
+    index = b" ".join(parts) + b" "
+    objstm_data = index + bodies
+    offsets[6] = len(out)
+    out += _stream_obj(
+        6, b"/Type /ObjStm /N %d /First %d" % (len(inner), len(index)),
+        objstm_data)
+    xref_off = len(out)
+
+    def row(t, f2, f3):
+        return bytes([t, (f2 >> 8) & 0xFF, f2 & 0xFF, f3])
+
+    rows = [row(0, 0, 255)] + [row(2, 6, k) for k in range(4)]
+    rows += [row(1, offsets[5], 0), row(1, offsets[6], 0),
+             row(1, xref_off, 0)]
+    xdata = flate(png_up_encode(rows))
+    xdict = (b"/Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R "
+             b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>")
+    out += _stream_obj(7, xdict, xdata)
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -2876,6 +2922,7 @@ FIXTURES = {
     "f169_cr_tail": f169_cr_tail,
     "f170_cr_xref_region": f170_cr_xref_region,
     "f171_crlf_tail": f171_crlf_tail,
+    "f172_objstm_float_idx": f172_objstm_float_idx,
 }
 
 

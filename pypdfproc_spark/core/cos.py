@@ -1072,7 +1072,15 @@ class PdfDocument:
             for _ in range(n):
                 o = hdr.next_token()
                 off = hdr.next_token()
-                if o[0] != "int" or off[0] != "int":
+                # Reference: Tokens[0:2N].value with NO type check
+                # (parser/__init__.py:1091-1093) — the oid is never used
+                # for lookup (access is by list index) so ANY token kind
+                # passes there; the offset only needs First+off
+                # arithmetic, so ints AND floats work (float lexpos
+                # windows compare fine — probed r05 f172) while a
+                # non-numeric offset TypeErrors in Process and kills
+                # every access (== this raise).
+                if off[0] not in ("int", "float") or o[0] == "eof":
                     raise PdfError("malformed object stream index")
                 pairs.append((o[1], off[1]))
             # Reference window semantics (parser/__init__.py:1094-1116,
@@ -1106,8 +1114,13 @@ class PdfDocument:
         if idx < 0 or idx >= len(pairs):
             raise PdfError("object stream %d has no index %d" % (stm_oid, idx))
         if idx not in parsed:
-            p = Parser(body, first + pairs[idx][1], doc=self,
-                       pdf_comments=True)
+            # ceil for float offsets: the reference's token-slice keeps
+            # tokens whose integer lexpos >= First+off, which for a
+            # fractional boundary is the next integer position
+            import math
+
+            p = Parser(body, int(math.ceil(first + pairs[idx][1])),
+                       doc=self, pdf_comments=True)
             parsed[idx] = p.parse_value()
         return parsed[idx]
 
