@@ -121,13 +121,17 @@ def run_extraction_bucketed(spark, pages_path: str) -> tuple[float, int]:
     return wall, n_rows
 
 
-def run_composed_funnel(spark, pages_path: str) -> tuple[float, int]:
+def run_composed_funnel(spark, pages_path: str) -> tuple[float, float, int]:
     """The composed post-extraction corpus pipeline at BENCH scale (r05):
-    dedup_funnel_survivors (exact-dedup + quality gate) over the full
-    50k-doc extraction output.  Extraction is materialized first
-    (persisted, kilobyte rows — the payload was dropped post-UDF) so the
-    measured window is the funnel alone."""
+    dedup_funnel_survivors (exact-dedup + quality gate) and MinHash+LSH
+    near-dedup candidates over the full 50k-doc extraction output.
+    Extraction is materialized once (persisted, kilobyte rows — the
+    payload was dropped post-UDF) so each measured window covers only its
+    own post-extraction stage."""
+    from pyspark.sql import functions as F
+
     from pypdfproc_spark.spark import pipeline as P
+    from pypdfproc_spark.spark import textops as T
 
     pages = spark.read.parquet(pages_path)
     res, _ = P.run_pipeline(pages, n_buckets=64, partitions=int(CPUS))
@@ -135,9 +139,15 @@ def run_composed_funnel(spark, pages_path: str) -> tuple[float, int]:
     res.count()
     t0 = time.time()
     n = P.dedup_funnel_survivors(res).count()
-    wall = time.time() - t0
+    wall_funnel = time.time() - t0
+    docs = P.doc_texts(res).select(
+        F.col("url").alias("doc_id"), F.col("doc_text").alias("text")
+    )
+    t0 = time.time()
+    T.dedup_minhash_lsh(spark, "", docs=docs).count()
+    wall_near = time.time() - t0
     res.unpersist()
-    return wall, n
+    return wall_funnel, wall_near, n
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -209,8 +219,9 @@ def default_mode() -> None:
         wall, docs, rows = run_extraction(spark, pages_path)
         wall_b, rows_b = run_extraction_bucketed(spark, pages_path)
         qt = run_queries(spark, SF_DIR)
-        wall_f, _nf = run_composed_funnel(spark, pages_path)
+        wall_f, wall_n, _nf = run_composed_funnel(spark, pages_path)
         qt["pipeline_dedup_funnel"] = round(wall_f, 3)
+        qt["pipeline_near_dedup"] = round(wall_n, 3)
     finally:
         spark.stop()
     # one-time BUILD artifacts (cold IVF train) are reported separately so
@@ -220,10 +231,17 @@ def default_mode() -> None:
     build_steps = {k: v for k, v in qt.items() if k in build_names}
     recurring = {k: v for k, v in qt.items() if k not in build_names}
     total = round(wall + wall_b + sum(recurring.values()), 3)
+    # queries first measured in r05: included in the headline from now
+    # on, but also reported net of them so r05-vs-r04 stays
+    # apples-to-apples (VERDICT r04 item 7)
+    new_r05 = {"pipeline_dedup_funnel", "pipeline_near_dedup"}
+    comparable = round(
+        total - sum(v for k, v in recurring.items() if k in new_r05), 3)
     line = {
         "metric": "e2e_bench_sec",
         "value": total,
         "unit": "sec",
+        "e2e_comparable_r04": comparable,
         "build_steps": build_steps,
         "queries": dict(
             {
