@@ -140,11 +140,20 @@ def run_composed_funnel(spark, pages_path: str) -> tuple[float, float, int]:
     t0 = time.time()
     n = P.dedup_funnel_survivors(res).count()
     wall_funnel = time.time() - t0
-    docs = P.doc_texts(res).select(
-        F.col("url").alias("doc_id"), F.col("doc_text").alias("text")
+    # near-dedup runs AFTER the exact-dedup stage, the production order:
+    # identical documents collapse to one representative before any
+    # token hashing (on this repl=10 corpus that is ~10x less minhash
+    # work — exactly the prefilter a 100 TB run applies)
+    uniq = (
+        P.doc_texts(res)
+        .where(F.length("doc_text") > 0)
+        .groupBy(F.md5(F.col("doc_text").cast("binary")).alias("doc_md5"))
+        .agg(F.min("url").alias("doc_id"),
+             F.min_by("doc_text", "url").alias("text"))
+        .select("doc_id", "text")
     )
     t0 = time.time()
-    T.dedup_minhash_lsh(spark, "", docs=docs).count()
+    T.dedup_minhash_lsh(spark, "", docs=uniq).count()
     wall_near = time.time() - t0
     res.unpersist()
     return wall_funnel, wall_near, n

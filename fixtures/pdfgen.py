@@ -2750,6 +2750,59 @@ def f172_objstm_float_idx() -> bytes:
     return bytes(out)
 
 
+def f173_root_fallback() -> bytes:
+    """Incremental update whose NEWEST trailer has NO /Root: the
+    reference's FindRootObject walks the combo chain newest->oldest
+    (parser/__init__.py:444-472) and resolves /Root from the BASE
+    trailer -> extracts.  Found by the r05 deep fuzz (NUL in '/Root');
+    our newest-only trailer died here."""
+    base = simple_doc(b"BT /F1 12 Tf 72 720 Td (Original text) Tj ET", HELV)
+    tail = base.rsplit(b"startxref\n", 1)[1]
+    orig_xref = int(tail.split(b"\n", 1)[0])
+    upd = bytearray(base)
+    newoff = len(upd)
+    upd += _stream_obj(5, b"", b"BT /F1 12 Tf 72 720 Td (Updated text) Tj ET")
+    xref_off = len(upd)
+    upd += b"xref\n5 1\n%010d 00000 n \n" % newoff
+    upd += (b"trailer\n<< /Size 6 /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+            % (orig_xref, xref_off))
+    return bytes(upd)
+
+
+def f174_xobject_no_subtype() -> bytes:
+    """Form XObject whose dict has no /Subtype: _ParseXObject KeyErrors
+    at load (parser/__init__.py:721) -> page drop.  Found by the r05
+    deep fuzz (NBSP splitting '/Subtype')."""
+    f = PdfFile()
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> /XObject << /X1 6 0 R >> "
+             b">> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (Pre) Tj ET /X1 Do")
+    f.add_stream(6, b"/Type /XObject /BBox [0 0 612 792]",
+                 b"BT /F1 12 Tf 72 700 Td (InForm) Tj ET")
+    return f.build(1)
+
+
+def f175_header_nbsp() -> bytes:
+    """NBSP before %PDF- on the first line: ParseHeader splits the
+    decoded line on UNICODE whitespace, so parts[0] is '%PDF-1.4' and
+    the doc parses -> extracts.  The router and header check must accept
+    it (deep fuzz r05); built with the NBSP inside the header so the
+    xref offsets stay valid."""
+    f = PdfFile()
+    f.header = b"\xa0%PDF-1.4\n"
+    f.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    f.add(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    f.add(3, HELV)
+    f.add(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    f.add_stream(5, b"", b"BT /F1 12 Tf 72 720 Td (NbspHeader) Tj ET")
+    return f.build(1)
+
+
 FIXTURES = {
     "f01_hello": f01_hello,
     "f02_multipage": f02_multipage,
@@ -2923,6 +2976,9 @@ FIXTURES = {
     "f170_cr_xref_region": f170_cr_xref_region,
     "f171_crlf_tail": f171_crlf_tail,
     "f172_objstm_float_idx": f172_objstm_float_idx,
+    "f173_root_fallback": f173_root_fallback,
+    "f174_xobject_no_subtype": f174_xobject_no_subtype,
+    "f175_header_nbsp": f175_header_nbsp,
 }
 
 

@@ -758,16 +758,28 @@ class PdfDocument:
         self.objmap: dict[tuple[int, int], object] = {}
         self.cache: dict[tuple[int, int], object] = {}
         self.trailer: dict = {}
+        # every xref/trailer combo in walk order (newest first), as
+        # ('table'|'stream', dict): FindRootObject falls back through the
+        # chain when the newest lacks /Root (parser/__init__.py:444-472,
+        # deep diff_fuzz r05) — see catalog()
+        self.trailer_combos: list[tuple[str, dict]] = []
         self._objstm_cache: dict[int, tuple] = {}
         self._tail_cmt: set[tuple[int, int]] = set()
         self._walk_xref_chain()
 
     def _parse_header(self) -> str:
-        if not self.data.startswith(b"%PDF-"):
+        # Reference ParseHeader (parser/__init__.py:189-210): the FIRST
+        # LINE (any of \r/\n ends it — betterfile readline) is decoded
+        # latin-1 and str.split() (UNICODE whitespace), and parts[0] must
+        # start with '%PDF-': leading NBSP/tab/space on line one is
+        # ACCEPTED (deep diff_fuzz r05), an empty first line IndexErrors,
+        # and any junk before %PDF- dies.
+        eol = _eol(self.data, 0)
+        line = self.data[: eol if eol != -1 else len(self.data)]
+        parts = line.decode("latin-1").split()
+        if not parts or not parts[0].startswith("%PDF-"):
             raise PdfError("not a PDF (missing %PDF- header)")
-        eol = self.data.find(b"\n", 0, 64)
-        line = self.data[5 : eol if eol > 0 else 16]
-        return line.split()[0].decode("latin-1", "replace")
+        return parts[0].split("-")[1]
 
     def _find_startxref(self) -> int:
         # Reference parity (parser/__init__.py:85-97, probed r05
@@ -921,6 +933,7 @@ class PdfDocument:
                 if not newest_trailer_set:
                     self.trailer = trailer
                     newest_trailer_set = True
+                self.trailer_combos.append(("table", trailer))
                 # Reference parity (probed r04, f117): the reference has NO
                 # hybrid-file support — a trailer's /XRefStm key is never
                 # read (parser/__init__.py:95-160 walks only /Prev), so
@@ -964,6 +977,7 @@ class PdfDocument:
                 if not newest_trailer_set:
                     self.trailer = dict(stm.dict)
                     newest_trailer_set = True
+                self.trailer_combos.append(("stream", stm.dict))
                 # xref-stream branch: no startxref fallback — absent /Prev
                 # means done (parser/__init__.py:127-131)
                 if "Prev" in stm.dict:
@@ -1134,7 +1148,23 @@ class PdfDocument:
     # document structure
 
     def catalog(self) -> dict:
-        root = self.trailer.get("Root")
+        # Reference FindRootObject (parser/__init__.py:444-472): walk the
+        # combo chain NEWEST->OLDEST until a trailer carries /Root — an
+        # incremental update whose newest trailer lost the key still
+        # resolves via an older one (deep diff_fuzz r05, f10 NUL-in-/Root
+        # mutant).  Quirk mirrored as fail-fast: a STREAM-type combo
+        # without /Root never advances x in the reference (no x = x.prev
+        # in that branch) -> infinite loop; we die with a typed error
+        # instead (same observable: no text).
+        root = None
+        for kind, tdict in self.trailer_combos:
+            if "Root" in tdict:
+                root = tdict["Root"]
+                break
+            if kind == "stream":
+                raise PdfError(
+                    "xref-stream combo without /Root (reference "
+                    "FindRootObject loops forever)")
         if root is None:
             raise PdfError("trailer has no /Root")
         cat = self.resolve(root)

@@ -58,8 +58,15 @@ def utf8_safe(s: str) -> str:
         return _SURROGATES.sub("�", s)
 
 
+# the reference accepts non-EOL unicode whitespace (latin-1 range:
+# tab \x0b \x0c \x1c-\x1f space NEL NBSP) before %PDF- on the FIRST
+# line (ParseHeader line.split(), deep diff_fuzz r05) — the router must
+# send those to the PDF path or the two engines diverge on them
+_PDF_MAGIC = _re.compile(rb"^[\t\x0b\x0c\x1c-\x1f \x85\xa0]*%PDF-")
+
+
 def is_pdf(payload: bytes) -> bool:
-    return payload.startswith(b"%PDF-")
+    return _PDF_MAGIC.match(payload) is not None
 
 
 def extract_pdf(payload: bytes) -> ExtractResult:

@@ -364,6 +364,20 @@ class PageInterpreter:
         x = self.doc.resolve(xobjs[xname])
         if not isinstance(x, StreamObj):
             raise InterpError("XObject %r is not a stream" % xname)
+        # reference _ParseXObject (parser/__init__.py:715-726): d['Subtype']
+        # KeyErrors when absent and anything but Form/Image ValueErrors —
+        # both page drops at load time (deep diff_fuzz r05: a NBSP inside
+        # '/Subtype' renames the key and the page must die).  The VALUE is
+        # read raw (an indirect Subtype is an IndirectObject there ->
+        # ValueError; a Ref here -> same raise).
+        if "Subtype" not in x.dict:
+            raise InterpError(
+                "XObject %r has no /Subtype (reference KeyError)" % xname)
+        styp = x.dict["Subtype"]
+        if styp not in ("Form", "Image"):
+            raise InterpError(
+                "XObject %r Subtype %r is neither Form nor Image" %
+                (xname, styp))
         xres = self.doc.resolve(x.dict.get("Resources"))
         # verbatim push (reference __init__.py:454): a Resources-less
         # XObject pushes None with the same poisoning semantics

@@ -183,8 +183,14 @@ def latest_snapshot(pages: DataFrame) -> DataFrame:
 
 
 def route(pages: DataFrame) -> DataFrame:
-    """Content-type router on magic bytes (no trust in upstream headers)."""
-    is_pdf = F.substring(F.col("html"), 1, 5) == F.lit(b"%PDF-")
+    """Content-type router on magic bytes (no trust in upstream headers).
+
+    Mirrors core.extract.is_pdf (r05): the reference's ParseHeader
+    accepts non-EOL unicode whitespace before %PDF- on the first line,
+    so the router must too — decode the head latin-1 (1:1 bytes ->
+    codepoints) and regex-match the same prefix class JVM-side."""
+    head = F.decode(F.substring(F.col("html"), 1, 256), "ISO-8859-1")
+    is_pdf = head.rlike("^[\\t\\x0B\\f\\x1C-\\x1F \\x85\\xA0]*%PDF-")
     return pages.withColumn("kind", F.when(is_pdf, "pdf").otherwise("html"))
 
 

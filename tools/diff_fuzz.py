@@ -23,14 +23,15 @@ sys.path.insert(0, "/root/reference")
 sys.path.insert(0, REPO)
 
 
-def mutations(data: bytes, name: str = ""):
+def mutations(data: bytes, name: str = "", deep: int = 1):
     """Deterministic, position-diverse mutations of one document.  The
     hashpos family derives extra positions from md5(fixture name) so
-    every fixture also gets scattered, fixture-specific hits."""
+    every fixture also gets scattered, fixture-specific hits.  ``deep``
+    multiplies the hash-scattered families (one-off deep sweeps)."""
     import hashlib
 
     n = len(data)
-    for k in range(8):
+    for k in range(8 * deep):
         h = hashlib.md5(("%s:%d" % (name, k)).encode()).digest()
         pos = int.from_bytes(h[:4], "big") % n
         kind = h[4] % 3
@@ -68,11 +69,11 @@ def mutations(data: bytes, name: str = ""):
     # unicode-whitespace bytes are stripped by some line readers but
     # lexer-fatal elsewhere — scatter comment/NBSP insertions so every
     # consumption context gets hit across the corpus.
-    for k in range(3):
+    for k in range(3 * deep):
         h = hashlib.md5(("cmt:%s:%d" % (name, k)).encode()).digest()
         pos = int.from_bytes(h[:4], "big") % n
         yield "cmt%d_ins@%d" % (k, pos), data[:pos] + b"% c\n" + data[pos:]
-    for k in range(2):
+    for k in range(2 * deep):
         h = hashlib.md5(("nbsp:%s:%d" % (name, k)).encode()).digest()
         pos = int.from_bytes(h[:4], "big") % n
         yield "nbsp%d_ins@%d" % (k, pos), data[:pos] + b"\xa0" + data[pos:]
@@ -82,7 +83,7 @@ def mutations(data: bytes, name: str = ""):
     # bare-CR insertions: the reference's line readers end lines at \r
     # too (betterfile; r05 f169-f171), so a stray CR splits lines there
     # but is plain whitespace to the lexers
-    for k in range(2):
+    for k in range(2 * deep):
         h = hashlib.md5(("cr:%s:%d" % (name, k)).encode()).digest()
         pos = int.from_bytes(h[:4], "big") % n
         yield "cr%d_ins@%d" % (k, pos), data[:pos] + b"\r" + data[pos:]
@@ -125,6 +126,8 @@ def main() -> int:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--fixtures", nargs="*", default=None)
+    ap.add_argument("--deep", type=int, default=1,
+                    help="multiply the hash-scattered mutation families")
     args = ap.parse_args()
 
     from fixtures.pdfgen import build_all
@@ -137,7 +140,7 @@ def main() -> int:
     mismatches = 0
     for name in names:
         base = fixtures[name]
-        for mname, data in mutations(base, name):
+        for mname, data in mutations(base, name, deep=args.deep):
             total += 1
             p = os.path.join(tmp, "%s__%s.pdf" % (name, mname))
             with open(p, "wb") as fh:
