@@ -32,6 +32,12 @@ from tools.diff_fuzz import mutations  # noqa: E402
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--deep", type=int, default=1)
+    args = ap.parse_args()
+
     from fixtures.htmlgen import build_all
     from pypdfproc_spark.core.extract import extract_document, utf8_safe
 
@@ -46,7 +52,7 @@ def main() -> int:
     failures = 0
     for name in sorted(fixtures):
         base = fixtures[name]
-        for mname, data in mutations(base, name):
+        for mname, data in mutations(base, name, deep=args.deep):
             total += 1
             try:
                 r1 = extract_document(data)
