@@ -221,7 +221,12 @@ def blob_byte_histogram_query(spark, sf_dir) -> DataFrame:
 
 def documents_as_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stand-in binary corpus: utf-8 payload per document (deterministic)."""
-    docs = spark.read.parquet(sf_dir.rstrip("/") + "/documents.parquet")
+    from pypdfproc_spark.spark.textops import load_documents
+
+    # spread (textops.spread_scan): the single-row-group input would
+    # otherwise feed the mapInPandas featurizer ONE partition — the whole
+    # Python stage serialized on one worker
+    docs = load_documents(spark, sf_dir)
     return docs.select(
         "doc_id", F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload")
     )

@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(sf_dir.rstrip("/") + "/embeddings.parquet")
+    from pypdfproc_spark.spark.textops import spread_scan
+
+    # single-row-group parquet input: spread the scan so the per-vector
+    # projections (norm folds, sign buckets, cosine) parallelize
+    # (textops.spread_scan docstring; no-op on multi-file corpora)
+    return spread_scan(
+        spark.read.parquet(sf_dir.rstrip("/") + "/embeddings.parquet")
+    )
 
 
 def _dot(a, b):
@@ -164,15 +171,19 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
     at least one (band, bucket).  Buckets above MAX_EMB_BUCKET occupants
     are dropped before pairing — a bucket of B vectors yields B^2/2 pairs,
     so one hot bucket (zero vectors, cluster collapse) would otherwise
-    dominate the whole job.  Pair generation carries only (vec_id, band,
-    bucket) — the 64-dim payload is joined back AFTER the distinct, so the
-    wide rows never ride through the quadratic stage."""
+    dominate the whole job.  Scoring is bucket-local (r06): members are
+    grouped WITH their vectors (state bounded by cap x vector bytes per
+    bucket), cosines computed inline during pair expansion, and the
+    distinct dedups threshold survivors — the quadratic pair stream never
+    crosses an exchange with a payload attached."""
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    bands = emb.select(
+    bands = emb.withColumn("vn", _norm(F.col("v"))).select(
         "vec_id",
+        "v",
+        "vn",
         F.explode(
             F.array(
                 *[
@@ -185,51 +196,44 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("vec_id", "b.band_id", "b.bucket")
-    occupancy = Window.partitionBy("band_id", "bucket")
-    bands = (
-        bands.withColumn("_n", F.count("*").over(occupancy))
-        .filter(F.col("_n") <= MAX_EMB_BUCKET)
-        .drop("_n")
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select("vec_id", "v", "vn", "b.band_id", "b.bucket")
+    # r06: bucket-local scoring instead of occupancy-window + self-join +
+    # two payload-attach joins.  The old plan shuffled the ~B^2/2-per-
+    # bucket candidate pairs TWICE with a 64-dim payload attached (the
+    # second attach join re-exchanged pairs + vectors by vec_b — the
+    # dominant byte-mover of the whole query); here each (band, bucket)
+    # group collects its members WITH their vectors (bounded by the
+    # occupancy cap at cap x vector bytes per bucket), expands ordered
+    # pairs and computes the rounded cosine inline, and only then filters
+    # and dedups — the distinct runs over threshold SURVIVORS (thousands),
+    # not raw candidates (millions).  Same result set: the cosine of a
+    # pair is computed from the same doubles in the same order whichever
+    # band found it, so filter-then-distinct equals the oracle's
+    # distinct-then-filter; sort_array orders members by unique vec_id, so
+    # expanded pairs satisfy vec_a < vec_b exactly like the old join
+    # predicate, and size(ms) is the same member count the occupancy
+    # window computed.  Join-free: 2 exchanges end to end.
+    buckets = (
+        bands.groupBy("band_id", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "v", "vn"))
+            ).alias("ms")
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
+        .where((F.size("ms") >= 2) & (F.size("ms") <= MAX_EMB_BUCKET))
     )
-    va = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        _norm(F.col("v")).alias("na"),
-    )
-    vb = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        _norm(F.col("v")).alias("nb"),
+    pair_cos = (
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), y -> struct("
+        "x.vec_id AS vec_a, y.vec_id AS vec_b, "
+        "round(aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0D, "
+        "(acc, t) -> acc + t) / (x.vn * y.vn), 4) AS cosine))))"
     )
     return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                cosine_prenormed(
-                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-                ),
-                4,
-            ).alias("cosine"),
-        )
+        buckets.select(F.explode(F.expr(pair_cos)).alias("p"))
+        .select("p.vec_a", "p.vec_b", "p.cosine")
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 

@@ -24,8 +24,38 @@ N_PERM = 8  # minhash permutations
 N_BANDS = 4  # bands of 2 rows each
 
 
-def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(sf_dir.rstrip("/") + "/documents.parquet")
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Spread a degenerate scan across the cluster (guide §2.5 input skew).
+
+    The sf documents/customer tables are single-row-group parquet files, and
+    a parquet split can never subdivide a row group — so every downstream
+    projection (tokenize, md5, regexp) runs in ONE task while the other
+    cores idle.  A keyless repartition to the session's default parallelism
+    moves only the narrow scan output once and parallelizes all compute
+    after it.  Scale-adaptive, not a local[32] constant: when the scan
+    already has >= defaultParallelism partitions (any real multi-file
+    corpus), this is a no-op and no Exchange is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive
+        return df
+    if n >= target:
+        return df
+    # LAZY localCheckpoint: predicate pushdown would otherwise move any
+    # filter (including regexp/tokenize-shaped ones, e.g. pii_scan and
+    # quality_score) BELOW the repartition and back into the serial scan
+    # task, making the spread useless; the checkpoint is an optimizer
+    # barrier that keeps all downstream compute after the exchange.
+    # eager=False: no job at construction — materialized (once) by the
+    # first action, shared by later references.
+    return df.repartition(target).localCheckpoint(eager=False)
+
+
+def load_documents(spark: SparkSession, sf_dir: str,
+                   spread: bool = True) -> DataFrame:
+    df = spark.read.parquet(sf_dir.rstrip("/") + "/documents.parquet")
+    return spread_scan(df) if spread else df
 
 
 def tokens_col(col="text"):
@@ -73,21 +103,41 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     minhash.  TWO md5 invocations per token instead of one per permutation
     — at corpus scale the signature stage is hash-bound, so this is ~4x
     less hashing for the same banding quality.  md5 (not engine-native
-    hash()) stays bit-identical across Spark and DuckDB."""
-    toks = (
-        docs.select(
-            "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
-        )
-        .withColumn("h1", F.md5("tok"))
-        .withColumn("h2", F.md5(F.concat(F.col("tok"), F.lit("x"))))
+    hash()) stays bit-identical across Spark and DuckDB.
+
+    Computed PER ROW with array higher-order functions (r06): the old
+    explode -> groupBy(doc_id) shape paid a token-row blowup, a shuffle,
+    and — because min(string) has no mutable agg buffer — a Sort +
+    SortAggregate pair on each side; array_min(transform(...)) is the
+    same min over the same values with zero Exchange and no sort.  The
+    two md5 transforms live in their own projection so the 8 array_min
+    consumers reference attributes (CollapseProject keeps non-cheap
+    aliases used more than once un-inlined: each md5 runs once per
+    token).  Docs with no tokens produce no signature row in either
+    shape (explode of empty vs. size filter)."""
+    d = docs.select(
+        "doc_id", F.array_distinct(tokens_col()).alias("toks")
+    ).where(F.size("toks") > 0)
+    hs = d.select(
+        "doc_id",
+        F.transform("toks", lambda t: F.md5(t)).alias("h1"),
+        F.transform("toks", lambda t: F.md5(F.concat(t, F.lit("x")))).alias(
+            "h2"),
     )
-    aggs = [
-        F.min(
-            F.substring("h1" if i < 4 else "h2", 8 * (i % 4) + 1, 8)
-        ).alias("s%d" % i)
-        for i in range(N_PERM)
-    ]
-    return toks.groupBy("doc_id").agg(*aggs)
+    def _slice(off):
+        # NB: must be a ONE-argument lambda — F.transform treats a
+        # two-parameter lambda as (element, index)
+        return lambda h: F.substring(h, off, 8)
+
+    return hs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("h1" if i < 4 else "h2", _slice(8 * (i % 4) + 1))
+            ).alias("s%d" % i)
+            for i in range(N_PERM)
+        ],
+    )
 
 
 MAX_BAND_BUCKET = 50  # degenerate-bucket guard (see docstring)
@@ -129,24 +179,34 @@ def dedup_minhash_lsh(spark, sf_dir, docs: DataFrame | None = None
             )
         ).alias("b"),
     ).select("doc_id", "b.band_id", "b.band_hash")
-    bucket_size = Window.partitionBy("band_id", "band_hash")
-    bands = (
-        bands.withColumn("_n", F.count("*").over(bucket_size))
-        .filter(F.col("_n") <= MAX_BAND_BUCKET)
-        .drop("_n")
+    # r06: pair generation by bucket grouping instead of occupancy-window +
+    # self-join.  The old shape paid a window Sort, a SortMergeJoin whose
+    # two sides each recomputed the full signature subtree (no exchange
+    # reuse through the window), and a distinct — 3 shuffles + duplicate
+    # compute.  Grouping each (band_id, band_hash) bucket once and
+    # expanding the sorted member list to its ordered pairs JVM-side gives
+    # the identical pair set (sort_array uses the same string/long ordering
+    # as the old a.doc_id < b.doc_id join predicate) in 2 shuffles with the
+    # signature computed once.  The cap is size(ids) <= MAX_BAND_BUCKET —
+    # the same count the window computed — so pair output stays bounded at
+    # cap^2/2 per bucket; the grouped state is ids only (8 bytes/member),
+    # never payloads.
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= MAX_BAND_BUCKET))
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -217,29 +277,36 @@ def dedup_simhash_pairs(spark, sf_dir, max_hamming: int = 3,
             )
         ).alias("b"),
     ).select("doc_id", "simhash16", "b.band_id", "b.band_val")
-    occupancy = Window.partitionBy("band_id", "band_val")
-    bands = (
-        bands.withColumn("_n", F.count("*").over(occupancy))
-        .filter(F.col("_n") <= MAX_SIMHASH_BUCKET)
-        .drop("_n")
+    # r06: same bucket-grouped pair expansion as dedup_minhash_lsh (see
+    # there for the equivalence argument) — the signature rides inside the
+    # collected struct so the Hamming check needs no join back.  sort_array
+    # on struct(doc_id, simhash16) orders by doc_id first (unique), so
+    # expanded pairs satisfy doc_a < doc_b exactly like the old join
+    # predicate.
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash16"))
+            ).alias("ms")
+        )
+        .where((F.size("ms") >= 2) & (F.size("ms") <= MAX_SIMHASH_BUCKET))
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), "
+                "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "x.simhash16 AS sim_a, y.simhash16 AS sim_b))))"
+            )
+        ).alias("p")
+    ).select("p.*")
     hamming = F.bit_count(
-        F.col("a.simhash16").bitwiseXOR(F.col("b.simhash16"))
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
     ).cast("long")
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
@@ -271,14 +338,21 @@ def dedup_verified(spark, sf_dir, threshold: float = 0.2) -> DataFrame:
     in the corpus; the verifier touches exactly the LSH survivors, which
     is the composition a 100 TB dedup run needs (candidate recall from
     LSH, precision from exact Jaccard)."""
-    cand = dedup_minhash_lsh(spark, sf_dir)
+    # r06: the candidate pairs and the candidate-member shingles are each
+    # referenced by MULTIPLE downstream joins (ids, inter; sha, shb,
+    # sizes), and Spark recomputes a lazily-referenced subtree per
+    # reference — the old plan held 44 scans / 114 Exchanges of duplicated
+    # LSH + shingle chains.  localCheckpoint materializes each once (both
+    # are candidate-bounded, kilobyte-scale id/shingle rows — never
+    # payloads; on a cluster this is a checkpoint to local executor
+    # storage), collapsing the plan to single computation per stage.
+    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
     docs = load_documents(spark, sf_dir)
     ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()
     )
-    sh = _shingles(docs.join(ids, "doc_id", "left_semi"))
+    sh = _shingles(docs.join(ids, "doc_id", "left_semi")).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -398,7 +472,12 @@ def dedup_ngram_jaccard(spark, sf_dir, max_doc_id: int = 150,
     """Exact 3-gram Jaccard over a doc_id-bounded subset — a DEMO-scale
     exhaustive verifier kept for its deterministic oracle; the corpus-scale
     composition (LSH candidates -> exact Jaccard) is ``dedup_verified``."""
-    docs = load_documents(spark, sf_dir).filter(F.col("doc_id") < max_doc_id)
+    # spread=False: the doc_id bound must reach the parquet scan as a
+    # pushed filter; a repartition between scan and filter would shuffle
+    # the whole table to keep 150 rows
+    docs = load_documents(spark, sf_dir, spread=False).filter(
+        F.col("doc_id") < max_doc_id
+    )
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -425,11 +504,27 @@ def dedup_ngram_jaccard(spark, sf_dir, max_doc_id: int = 150,
 
 
 def doc_fingerprint(spark, sf_dir) -> DataFrame:
-    """Winnowing-style document fingerprint: min hash over 3-gram shingles."""
-    docs = load_documents(spark, sf_dir)
-    sh = _shingles(docs)
-    return sh.groupBy("doc_id").agg(
-        F.min(F.md5("shingle")).alias("fingerprint")
+    """Winnowing-style document fingerprint: min hash over 3-gram shingles.
+
+    r06: computed per row — array_min(transform(shingles, md5)) — instead
+    of explode + groupBy(doc_id) min: the min over a document's shingle
+    hashes needs no row blowup, no Exchange, and no SortAggregate (the
+    old min(string) agg shape).  Same values: min over the distinct
+    shingles equals min over all of them, and the >= 3-token filter
+    matches the old explode-empty behavior."""
+    docs = with_tokens(load_documents(spark, sf_dir))
+    shingle_expr = F.expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), "
+        "k -> concat_ws(' ', slice(toks, k, 3))))"
+    )
+    return (
+        docs.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.array_min(
+                F.transform(shingle_expr, lambda s: F.md5(s))
+            ).alias("fingerprint"),
+        )
     )
 
 
@@ -563,7 +658,11 @@ def pii_scan(spark, sf_dir) -> DataFrame:
         emails(F.col("text")).alias("emails"),
         digitruns(F.col("text")).alias("digit_runs"),
     )
-    cust = spark.read.parquet(sf_dir.rstrip("/") + "/customer.parquet").select(
+    # spread: the regexp sweep runs in the scan stage, and customer is a
+    # single-row-group file (see spread_scan)
+    cust = spread_scan(
+        spark.read.parquet(sf_dir.rstrip("/") + "/customer.parquet")
+    ).select(
         F.lit("customer").alias("source"),
         F.col("c_custkey").alias("record_id"),
         emails(F.col("c_name")).alias("emails"),

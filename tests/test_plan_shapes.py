@@ -50,6 +50,31 @@ def test_pairwise_family_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
 
 
+def test_minhash_pair_gen_join_free(spark):
+    """r06 rewrite gate: the MinHash/SimHash candidate stages generate
+    pairs by bucket grouping — no self-join, no occupancy window, and no
+    SortAggregate (the per-row array_min signatures removed the
+    min(string) agg)."""
+    from pypdfproc_spark.spark import textops
+
+    for fn in (textops.dedup_minhash_lsh, textops.dedup_simhash_pairs):
+        plan = _plan(fn(spark, SF))
+        assert "Join" not in plan, fn.__name__
+        assert "Window" not in plan, fn.__name__
+        assert "SortAggregate" not in plan, fn.__name__
+
+
+def test_embedding_cosine_pair_gen_window_free(spark):
+    """r06 rewrite gate: dedup_embedding_cosine scores bucket-locally —
+    no occupancy window, no self-join, no payload-attach joins; the
+    quadratic pair stream never crosses an exchange."""
+    from pypdfproc_spark.spark import similarity
+
+    plan = _plan(similarity.dedup_embedding_cosine(spark, SF))
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
 def test_ann_bruteforce_broadcasts_queries(spark):
     """The cross join IS brute force by definition — but the tiny query
     side must be the broadcast side, and top-k must push below the
@@ -100,12 +125,19 @@ def test_ivf_probe_contains_no_training(spark, tmp_path):
 
 def test_funnel_single_aggregate(spark):
     """quality_filter_funnel is one pass: a single partial+final agg,
-    no joins at all."""
+    no joins at all.  r06: the deliberate scan-spread repartition
+    (textops.spread_scan — parallelizes the single-row-group input) adds
+    one RoundRobin exchange before the agg; the aggregation itself still
+    crosses exactly one SinglePartition exchange."""
     from pypdfproc_spark.spark import textops
 
     plan = _plan(textops.quality_filter_funnel(spark, SF))
     assert "Join" not in plan
-    assert len(re.findall(r"Exchange", plan)) == 1
+    agg_ex = len(re.findall(r"Exchange SinglePartition", plan))
+    rr_ex = len(re.findall(r"Exchange RoundRobinPartitioning", plan))
+    assert agg_ex == 1, plan
+    assert len(re.findall(r"Exchange", plan)) == agg_ex + rr_ex
+    assert rr_ex <= 1, plan
 
 
 def test_extract_plain_path_single_payload_shuffle(spark):
