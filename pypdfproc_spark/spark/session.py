@@ -48,6 +48,28 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r06 (guide §3.1): allow shuffled-hash join where the per-
+        # partition build side fits — the pairwise dedup/verify family is
+        # all equi-joins on id/hash keys whose build sides are candidate-
+        # bounded, and skipping the SMJ sorts is a straight win; AQE can
+        # also convert SMJ->SHJ at runtime below the local map threshold.
+        # Both knobs env-overridable; sort-merge remains the fallback
+        # whenever the planner's size conditions are not met.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_SHJ_LOCAL_MAP_THRESHOLD", "67108864"),
+        )
+        # r06 (guide §2.3): shuffle/spill codec, env-overridable for A/B;
+        # lz4 is the default — zstd measured no better on this host's
+        # payload mix (see OPTIMIZATION_r06.md)
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_IO_CODEC", "lz4"),
+        )
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
         )

@@ -260,18 +260,44 @@ def ivf_train_centroids(emb: DataFrame, n_queries: int = 5,
     (a handful of passes over — in practice a sample of — the vectors);
     the expensive stage is the broadcast assignment scan, which is
     embarrassingly parallel with one narrow row per vector shuffled."""
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
     emb = emb.select("vec_id", "v", "vn")
-    cents = emb.filter(
-        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_cells)
-    ).select(
-        (F.col("vec_id") - n_queries).alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.col("vn").alias("cn"),
+    # r06: the codebook lives in Python between iterations (it is 16 tiny
+    # rows that were already collected to the driver each pass anyway);
+    # each iteration collects the per-cell UPDATE aggregate directly and
+    # merges in Python, instead of building a cents-join-upd plan and
+    # collecting that — one fewer join and one less plan layer per
+    # iteration, identical values (collect/createDataFrame round-trips
+    # doubles exactly).  The assignment keeps the broadcast-join +
+    # partial-aggregated max_by shape (the plan-gated ivf_assignment
+    # pattern).
+    def _cents_df(cmap):
+        return spark.createDataFrame(
+            [(cid, cmap[cid]) for cid in sorted(cmap)],
+            T.StructType(
+                [
+                    T.StructField("cent_id", T.LongType()),
+                    T.StructField("cv", T.ArrayType(T.DoubleType())),
+                ]
+            ),
+        ).withColumn("cn", _norm(F.col("cv")))
+
+    seed = (
+        emb.filter(
+            (F.col("vec_id") >= n_queries)
+            & (F.col("vec_id") < n_queries + n_cells)
+        )
+        .select((F.col("vec_id") - n_queries).alias("cent_id"), "v")
+        .collect()
     )
+    cents_py = {int(r["cent_id"]): [float(x) for x in r["v"]] for r in seed}
     cands = emb.filter(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"), "v", "vn"
     )
     for _ in range(iters):
+        cents = _cents_df(cents_py)
         ccos = F.round(
             cosine_prenormed(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")),
             4,
@@ -293,40 +319,13 @@ def ivf_train_centroids(emb: DataFrame, n_queries: int = 5,
                 for i in range(dim)
             ]
         )
-        new_cv = F.array(*[F.col("c%d" % i) for i in range(dim)])
-        cents = (
-            cents.select("cent_id", "cv")
-            .join(upd, "cent_id", "left")
-            .select(
-                "cent_id",
-                F.when(F.col("c0").isNull(), F.col("cv"))
-                .otherwise(new_cv)
-                .alias("cv"),
-            )
-        )
-        # checkpoint the codebook between iterations: it is n_cells tiny
-        # rows, and materializing it keeps every assignment pass a single
-        # corpus scan — a lazily chained lineage would re-derive ALL prior
-        # iterations (multiple corpus scans) under each later stage.
-        # collect/createDataFrame round-trips doubles exactly, so values
-        # stay bit-identical to the oracle's CTE chain.
-        from pyspark.sql import types as T
-
-        spark = emb.sparkSession
-        mat = [
-            (int(r["cent_id"]), [float(x) for x in r["cv"]])
-            for r in cents.collect()
-        ]
-        cents = spark.createDataFrame(
-            mat,
-            T.StructType(
-                [
-                    T.StructField("cent_id", T.LongType()),
-                    T.StructField("cv", T.ArrayType(T.DoubleType())),
-                ]
-            ),
-        ).withColumn("cn", _norm(F.col("cv")))
-    return cents
+        # a cell that loses all members keeps its previous centroid (the
+        # old left-join coalesce): only returned cells are overwritten
+        for r in upd.collect():
+            cents_py[int(r["cent_id"])] = [
+                float(r["c%d" % i]) for i in range(dim)
+            ]
+    return _cents_df(cents_py)
 
 
 def ivf_assignment(cents: DataFrame, cands: DataFrame) -> DataFrame:

@@ -722,7 +722,11 @@ def route_filter(spark, sf_dir) -> DataFrame:
 
 def latest_snapshot_events(spark, sf_dir) -> DataFrame:
     """warc_ts window-dedup analog over events: newest event per user."""
-    ev = spark.read.parquet(sf_dir.rstrip("/") + "/events.parquet")
+    # spread (see spread_scan): single-row-group input; the window sorts
+    # parallelize after the spread instead of running in the scan task
+    ev = spread_scan(
+        spark.read.parquet(sf_dir.rstrip("/") + "/events.parquet")
+    )
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
@@ -810,7 +814,11 @@ def order_revenue_by_region(spark, sf_dir) -> DataFrame:
 
 def events_sessionize(spark, sf_dir, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization: a new session starts after a >30 min gap."""
-    ev = spark.read.parquet(sf_dir.rstrip("/") + "/events.parquet")
+    # spread (see spread_scan): single-row-group input; the window sorts
+    # parallelize after the spread instead of running in the scan task
+    ev = spread_scan(
+        spark.read.parquet(sf_dir.rstrip("/") + "/events.parquet")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # NB: parquet TIMESTAMP lands as TIMESTAMP_NTZ; unix seconds via a
     # ltz cast (the DIFFERENCE is tz-invariant, matching date_diff in SQL)
