@@ -277,6 +277,10 @@ def split_literal(raw: bytes) -> list[str]:
     decodes; anything else is an error (-> page drop).  Operates on the
     latin-1 view, as the reference does throughout."""
     lit = raw.decode("latin-1")
+    if "\\" not in lit:
+        # fast path: no escapes — every character is drawable as-is
+        # (identical to the loop below, which only branches on '\\')
+        return list(lit)
     ret: list[str] = []
     i = 0
     imax = len(lit)

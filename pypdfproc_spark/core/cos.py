@@ -266,13 +266,20 @@ class Scanner:
         return tok
 
     def next_token(self):
+        # group text is fetched by m[m.lastindex] (the matched branch's
+        # index — no branch has nested capture groups) instead of by name:
+        # named lookup pays a groupindex dict hop per call, and this
+        # function is the hottest leaf of the whole extractor.  Branch
+        # order is frequency-descending (num/kw dominate both COS and
+        # content token streams); order is dispatch-only — `kind` is
+        # decided by the regex, so semantics are unchanged.
         data, n = self.data, len(self.data)
         m = self._re.match(data, self.pos)
         kind = m.lastgroup  # the pattern always matches (WS* + optional tok)
         if kind is not None:
             self.pos = m.end()
             if kind == "num":
-                text = m.group("num").decode("latin-1")
+                text = m[m.lastindex].decode("latin-1")
                 isfloat = "." in text
                 try:
                     return ("float", float(text)) if isfloat else ("int", int(text))
@@ -280,10 +287,14 @@ class Scanner:
                     raise PdfError(
                         "malformed number %r at %d" % (text, m.start("num"))
                     ) from None
+            if kind == "kw":
+                return ("kw", m[m.lastindex].decode("latin-1"))
+            if kind == "name":
+                return ("name", m[m.lastindex][1:].decode("latin-1"))
             if kind == "flt":
                 # content-mode only: reference t_FLOAT (text.py:207-211);
                 # float('.') / float('-.') raise there and kill the page
-                text = m.group("flt").decode("latin-1")
+                text = m[m.lastindex].decode("latin-1")
                 try:
                     return ("float", float(text))
                 except ValueError:
@@ -291,10 +302,6 @@ class Scanner:
                         "malformed number %r at %d (reference t_FLOAT "
                         "ValueError)" % (text, m.start("flt"))
                     ) from None
-            if kind == "name":
-                return ("name", m.group("name")[1:].decode("latin-1"))
-            if kind == "kw":
-                return ("kw", m.group("kw").decode("latin-1"))
             if kind == "eofm":
                 # %%EOF is a real token in the reference (t_EOF precedes
                 # t_COMMENT); in a value position the parser rejects it
@@ -302,13 +309,13 @@ class Scanner:
                 return ("kw", "%%EOF")
             if kind == "cmt":
                 # reference t_COMMENT: value is the text minus the '%'
-                return ("cmt", m.group("cmt")[1:].decode("latin-1"))
+                return ("cmt", m[m.lastindex][1:].decode("latin-1"))
             if kind == "dicto":
                 return ("dict<", None)
             if kind == "dictc":
                 return ("dict>", None)
             if kind == "hex":
-                body = m.group("hex")[1:-1]
+                body = m[m.lastindex][1:-1]
                 # reference parity: EVERY reference lexer requires
                 # <[0-9A-Fa-f]+> — non-empty, hex digits only, no
                 # whitespace (parser/pdf.py:95, parser/text.py:221,
@@ -324,7 +331,7 @@ class Scanner:
             if kind == "arrc":
                 return ("arr>", None)
             # 'lito': rewind to '('; the balanced scan below consumes it
-            self.pos = m.start("lito")
+            self.pos = m.start(m.lastindex)  # 'lito': rewind to '('
         else:
             self.pos = m.end()  # whitespace/comments only
         i = self.pos

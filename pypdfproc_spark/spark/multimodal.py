@@ -219,14 +219,18 @@ def blob_byte_histogram_query(spark, sf_dir) -> DataFrame:
     return blob_byte_histogram(documents_as_blobs(spark, sf_dir))
 
 
-def documents_as_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stand-in binary corpus: utf-8 payload per document (deterministic)."""
+def documents_as_blobs(spark: SparkSession, sf_dir: str,
+                       spread: bool = True) -> DataFrame:
+    """Stand-in binary corpus: utf-8 payload per document (deterministic).
+
+    ``spread`` (textops.spread_scan): the single-row-group input would
+    otherwise feed the mapInPandas featurizer ONE partition — the whole
+    Python stage serialized on one worker.  The cheap JVM metadata
+    projection passes spread=False (the materialization would cost more
+    than it parallelizes)."""
     from pypdfproc_spark.spark.textops import load_documents
 
-    # spread (textops.spread_scan): the single-row-group input would
-    # otherwise feed the mapInPandas featurizer ONE partition — the whole
-    # Python stage serialized on one worker
-    docs = load_documents(spark, sf_dir)
+    docs = load_documents(spark, sf_dir, spread=spread)
     return docs.select(
         "doc_id", F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload")
     )
@@ -234,4 +238,4 @@ def documents_as_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def blob_metadata_query(spark, sf_dir) -> DataFrame:
     """The oracle-checkable multimodal query: binary metadata extraction."""
-    return blob_metadata(documents_as_blobs(spark, sf_dir))
+    return blob_metadata(documents_as_blobs(spark, sf_dir, spread=False))

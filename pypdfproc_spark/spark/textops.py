@@ -34,7 +34,14 @@ def spread_scan(df: DataFrame) -> DataFrame:
     moves only the narrow scan output once and parallelizes all compute
     after it.  Scale-adaptive, not a local[32] constant: when the scan
     already has >= defaultParallelism partitions (any real multi-file
-    corpus), this is a no-op and no Exchange is added."""
+    corpus), this is a no-op and no Exchange is added.
+
+    Applied SELECTIVELY (spread=... at each call site): worth it exactly
+    when the downstream per-row compute (tokenize/md5/regexp over text)
+    dominates; a cheap column aggregate (metrics_rollup, topk_skew,
+    route_filter, ...) is faster reading the file serially than paying
+    the repartition + checkpoint materialization of columns it never
+    needed."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n = df.rdd.getNumPartitions()
@@ -75,7 +82,7 @@ def with_tokens(docs: DataFrame) -> DataFrame:
 
 def dedup_exact(spark, sf_dir) -> DataFrame:
     """Exact duplicate groups by content hash."""
-    docs = load_documents(spark, sf_dir)
+    docs = load_documents(spark, sf_dir, spread=False)
     return (
         docs.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
@@ -86,7 +93,7 @@ def dedup_exact(spark, sf_dir) -> DataFrame:
 
 def dedup_exact_keep_first(spark, sf_dir) -> DataFrame:
     """Survivors of exact dedup: the lowest doc_id per distinct content."""
-    docs = load_documents(spark, sf_dir)
+    docs = load_documents(spark, sf_dir, spread=False)
     return (
         docs.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -548,7 +555,7 @@ def _stop_count(lang: str):
 def lang_id(spark, sf_dir) -> DataFrame:
     """n-gram/stopword language-ID heuristic; deterministic tie-break by
     fixed language priority."""
-    docs = with_tokens(load_documents(spark, sf_dir))
+    docs = with_tokens(load_documents(spark, sf_dir, spread=False))
     scored = docs.select(
         "doc_id",
         *[_stop_count(lg).alias("score_%s" % lg) for lg in _LANG_ORDER],
@@ -592,7 +599,7 @@ def quality_score(spark, sf_dir) -> DataFrame:
 
 
 def token_count(spark, sf_dir) -> DataFrame:
-    docs = with_tokens(load_documents(spark, sf_dir))
+    docs = with_tokens(load_documents(spark, sf_dir, spread=False))
     return docs.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
@@ -612,7 +619,7 @@ def token_count_bpe(spark, sf_dir) -> DataFrame:
     """Token counting with a BPE-style pre-tokenizer regex: the standard
     proxy for 'how many LLM tokens is this document' at corpus scale,
     computed entirely JVM-side (regexp_count, no Python)."""
-    docs = load_documents(spark, sf_dir)
+    docs = load_documents(spark, sf_dir, spread=False)
     return docs.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(BPE_SPLIT_RE)).alias("n_bpe_tokens"),
@@ -693,7 +700,7 @@ def length_histogram(spark, sf_dir, bucket_chars: int = 500,
     """Document-length distribution: n_chars bucketed to ``bucket_chars``
     steps with a top catch-all — the skew/straggler planning input for
     partition sizing."""
-    docs = load_documents(spark, sf_dir)
+    docs = load_documents(spark, sf_dir, spread=False)
     bucket = F.least(
         F.floor(F.col("n_chars") / F.lit(bucket_chars)), F.lit(max_bucket)
     ).cast("long")
@@ -712,7 +719,7 @@ def length_histogram(spark, sf_dir, bucket_chars: int = 500,
 
 def route_filter(spark, sf_dir) -> DataFrame:
     """Routing-predicate analog: docs per source over a length filter."""
-    docs = load_documents(spark, sf_dir)
+    docs = load_documents(spark, sf_dir, spread=False)
     return (
         docs.filter(F.col("n_chars") >= 100)
         .groupBy("source")
@@ -740,7 +747,7 @@ def latest_snapshot_events(spark, sf_dir) -> DataFrame:
 
 def metrics_rollup(spark, sf_dir) -> DataFrame:
     """Extraction-metrics aggregation analog: per-lang lineage rollup."""
-    docs = load_documents(spark, sf_dir)
+    docs = load_documents(spark, sf_dir, spread=False)
     return docs.groupBy("lang").agg(
         F.count("*").alias("docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -764,7 +771,7 @@ def resume_anti_join(spark, sf_dir) -> DataFrame:
 
 def topk_skew(spark, sf_dir, k: int = 10) -> DataFrame:
     """Straggler-diagnostic analog: top-k largest documents."""
-    docs = load_documents(spark, sf_dir)
+    docs = load_documents(spark, sf_dir, spread=False)
     return (
         docs.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
         .limit(k)
