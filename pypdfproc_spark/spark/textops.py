@@ -24,7 +24,7 @@ N_PERM = 8  # minhash permutations
 N_BANDS = 4  # bands of 2 rows each
 
 
-def spread_scan(df: DataFrame) -> DataFrame:
+def spread_scan(df: DataFrame, barrier: bool = True) -> DataFrame:
     """Spread a degenerate scan across the cluster (guide §2.5 input skew).
 
     The sf documents/customer tables are single-row-group parquet files, and
@@ -49,6 +49,11 @@ def spread_scan(df: DataFrame) -> DataFrame:
         return df
     if n >= target:
         return df
+    if not barrier:
+        # filter-free consumers (the events window queries): a plain
+        # repartition parallelizes everything above it and costs no
+        # materialization
+        return df.repartition(target)
     # LAZY localCheckpoint: predicate pushdown would otherwise move any
     # filter (including regexp/tokenize-shaped ones, e.g. pii_scan and
     # quality_score) BELOW the repartition and back into the serial scan
@@ -729,11 +734,11 @@ def route_filter(spark, sf_dir) -> DataFrame:
 
 def latest_snapshot_events(spark, sf_dir) -> DataFrame:
     """warc_ts window-dedup analog over events: newest event per user."""
-    # spread (see spread_scan): single-row-group input; the window sorts
-    # parallelize after the spread instead of running in the scan task
-    ev = spread_scan(
-        spark.read.parquet(sf_dir.rstrip("/") + "/events.parquet")
-    )
+    # NOT spread: the window exchange immediately follows the scan, so a
+    # repartition would only add a second full shuffle of the events rows
+    # (measured in-bench: 1.4 -> 2.2 s with the spread; the serial scan
+    # read is not the bottleneck here)
+    ev = spark.read.parquet(sf_dir.rstrip("/") + "/events.parquet")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
@@ -821,11 +826,11 @@ def order_revenue_by_region(spark, sf_dir) -> DataFrame:
 
 def events_sessionize(spark, sf_dir, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization: a new session starts after a >30 min gap."""
-    # spread (see spread_scan): single-row-group input; the window sorts
-    # parallelize after the spread instead of running in the scan task
-    ev = spread_scan(
-        spark.read.parquet(sf_dir.rstrip("/") + "/events.parquet")
-    )
+    # NOT spread: the window exchange immediately follows the scan, so a
+    # repartition would only add a second full shuffle of the events rows
+    # (measured in-bench: 1.4 -> 2.2 s with the spread; the serial scan
+    # read is not the bottleneck here)
+    ev = spark.read.parquet(sf_dir.rstrip("/") + "/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # NB: parquet TIMESTAMP lands as TIMESTAMP_NTZ; unix seconds via a
     # ltz cast (the DIFFERENCE is tz-invariant, matching date_diff in SQL)
