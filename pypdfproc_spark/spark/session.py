@@ -46,6 +46,18 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r06: AQE coalescing is byte-based, but the LSH/cosine pair
+        # stages carry narrow id rows with heavy per-row compute — at
+        # 1 MB (default) such stages collapse to a handful of tasks.
+        # With parallelismFirst (default true) lowering the floor only
+        # ever RAISES parallelism toward defaultParallelism (scale-
+        # adaptive); at production byte volumes the floor never binds.
+        # Measured (sf1.0, medians of 3): minhash 0.97->0.67 s,
+        # embedding-cosine 2.21->1.52 s.  Env-overridable.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # r06 (guide §3.1): allow shuffled-hash join where the per-
