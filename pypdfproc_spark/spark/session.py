@@ -75,6 +75,20 @@ def build_session(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_SHJ_LOCAL_MAP_THRESHOLD", "67108864"),
         )
+        # r06: whole-stage codegen OFF by default for this workload class
+        # — one-shot analytic queries over seconds of data pay janino
+        # compilation (measured 2-3.5 s per unique query: minhash first
+        # run 5.2 -> 1.5 s, embedding-cosine 3.9 -> 2.7 s) that dwarfs
+        # the interpreted-execution penalty (warm execution measured
+        # equal within noise, incl. the 500k-doc extraction: 11.2/8.8 s
+        # codegen vs 9.5/8.9 s interpreted, interleaved).  Long-running
+        # production jobs where execution dominates should set
+        # SPARK_WHOLESTAGE_CODEGEN=true; results are identical either
+        # way (execution mode only).
+        .config(
+            "spark.sql.codegen.wholeStage",
+            os.environ.get("SPARK_WHOLESTAGE_CODEGEN", "false"),
+        )
         # r06 (guide §2.3): shuffle/spill codec, env-overridable for A/B;
         # lz4 is the default — zstd measured no better on this host's
         # payload mix (see OPTIMIZATION_r06.md)

@@ -127,25 +127,24 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     aliases used more than once un-inlined: each md5 runs once per
     token).  Docs with no tokens produce no signature row in either
     shape (explode of empty vs. size filter)."""
+    # expressions built as SQL strings (one server-side parse each): the
+    # py4j column-builder round trips for 10 lambdas cost ~0.5 s of
+    # driver time per query construction, which at bench scale was ~15%
+    # of the whole query; F.expr resolves to the IDENTICAL plan
     d = docs.select(
         "doc_id", F.array_distinct(tokens_col()).alias("toks")
     ).where(F.size("toks") > 0)
     hs = d.select(
         "doc_id",
-        F.transform("toks", lambda t: F.md5(t)).alias("h1"),
-        F.transform("toks", lambda t: F.md5(F.concat(t, F.lit("x")))).alias(
-            "h2"),
+        F.expr("transform(toks, t -> md5(t))").alias("h1"),
+        F.expr("transform(toks, t -> md5(concat(t, 'x')))").alias("h2"),
     )
-    def _slice(off):
-        # NB: must be a ONE-argument lambda — F.transform treats a
-        # two-parameter lambda as (element, index)
-        return lambda h: F.substring(h, off, 8)
-
     return hs.select(
         "doc_id",
         *[
-            F.array_min(
-                F.transform("h1" if i < 4 else "h2", _slice(8 * (i % 4) + 1))
+            F.expr(
+                "array_min(transform(%s, h -> substring(h, %d, 8)))"
+                % ("h1" if i < 4 else "h2", 8 * (i % 4) + 1)
             ).alias("s%d" % i)
             for i in range(N_PERM)
         ],
@@ -177,17 +176,12 @@ def dedup_minhash_lsh(spark, sf_dir, docs: DataFrame | None = None
     sigs = _minhash_signatures(docs)
     bands = sigs.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_id"),
-                        F.md5(
-                            F.concat(F.col("s%d" % (2 * j)), F.col("s%d" % (2 * j + 1)))
-                        ).alias("band_hash"),
-                    )
-                    for j in range(N_BANDS)
-                ]
+        F.expr(
+            "explode(array(%s))"
+            % ", ".join(
+                "struct(%d AS band_id, md5(concat(s%d, s%d)) AS band_hash)"
+                % (j, 2 * j, 2 * j + 1)
+                for j in range(N_BANDS)
             )
         ).alias("b"),
     ).select("doc_id", "b.band_id", "b.band_hash")
